@@ -1,0 +1,91 @@
+"""Host-side packing between Python integers and fixed-width limb arrays.
+
+The device engine (phe_tpu.ops) represents big integers as ``uint32`` arrays
+of base ``2**LIMB_BITS`` limbs, least-significant limb first, shape
+``[..., num_limbs]``. This module is the host boundary: it converts CPython
+ints (the reference library's native representation, phe/paillier.py) to and
+from that packed tensor format. Conversion is vectorised through numpy bit
+unpacking so that batches of thousands of 4096-bit integers pack in
+milliseconds; nothing here runs in the device hot path.
+
+The limb radix is 2**15 (not 2**16): the device engine keeps limbs in a
+redundant carry-save form where a limb may temporarily hold values up to
+2**15 inclusive, and 15-bit radix guarantees every partial product and
+accumulator in the Montgomery pipeline fits uint32 with headroom (see
+phe_tpu/ops/limb_math.py for the bound analysis).
+"""
+
+import numpy as np
+
+LIMB_BITS = 15
+LIMB_MASK = (1 << LIMB_BITS) - 1
+
+__all__ = [
+    "LIMB_BITS",
+    "LIMB_MASK",
+    "num_limbs_for_bits",
+    "int_to_limbs",
+    "limbs_to_int",
+    "ints_to_limbs",
+    "limbs_to_ints",
+]
+
+
+def num_limbs_for_bits(nbits, limb_bits=LIMB_BITS):
+    """Number of limbs needed to hold an nbits-bit integer."""
+    return -(-nbits // limb_bits)
+
+
+def int_to_limbs(value, num_limbs, limb_bits=LIMB_BITS):
+    """Pack one non-negative int into a [num_limbs] uint32 array (LSB first)."""
+    return ints_to_limbs([value], num_limbs, limb_bits)[0]
+
+
+def limbs_to_int(limbs, limb_bits=LIMB_BITS):
+    """Exact value of a (possibly redundant / non-normalised) limb array."""
+    return limbs_to_ints(np.asarray(limbs)[None, :], limb_bits)[0]
+
+
+def ints_to_limbs(values, num_limbs, limb_bits=LIMB_BITS):
+    """Pack a sequence of non-negative ints into a [B, num_limbs] uint32 array.
+
+    Bits beyond num_limbs * limb_bits must be zero (raises if a value does
+    not fit).
+    """
+    total_bits = num_limbs * limb_bits
+    nbytes = (total_bits + 7) // 8
+    buf = np.empty((len(values), nbytes), dtype=np.uint8)
+    for i, v in enumerate(values):
+        if v < 0:
+            raise ValueError("limb packing requires non-negative integers")
+        if v.bit_length() > total_bits:
+            raise ValueError(
+                "value of %d bits does not fit in %d limbs of %d bits"
+                % (v.bit_length(), num_limbs, limb_bits)
+            )
+        buf[i] = np.frombuffer(v.to_bytes(nbytes, "little"), dtype=np.uint8)
+    bits = np.unpackbits(buf, axis=1, bitorder="little")[:, :total_bits]
+    bits = bits.reshape(len(values), num_limbs, limb_bits)
+    weights = (1 << np.arange(limb_bits, dtype=np.uint32)).astype(np.uint32)
+    return (bits.astype(np.uint32) * weights).sum(axis=2, dtype=np.uint32)
+
+
+def limbs_to_ints(limbs, limb_bits=LIMB_BITS):
+    """Exact values of a [B, L] limb array (redundant limbs allowed).
+
+    Limbs may exceed the radix (carry-save form): the result is the exact
+    integer sum(limb[i] << (limb_bits * i)).
+    """
+    limbs = np.asarray(limbs)
+    if limbs.ndim != 2:
+        raise ValueError("expected a [B, L] array, got shape %r" % (limbs.shape,))
+    out = []
+    shifts = [limb_bits * i for i in range(limbs.shape[1])]
+    for row in limbs:
+        acc = 0
+        # Horner from the most significant limb: one shift+add per limb,
+        # exact for redundant (over-radix) limbs too.
+        for limb in row[::-1].tolist():
+            acc = (acc << limb_bits) + limb
+        out.append(acc)
+    return out

@@ -1,0 +1,27 @@
+"""Test harness config: run JAX on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding correctness is
+validated on a forced 8-device CPU platform (the driver separately
+dry-run-compiles the multi-chip path via __graft_entry__.dryrun_multichip).
+Must run before the first jax import, hence top of conftest.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import random
+
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _seed_prng():
+    # Keygen in tests uses the random module only through ntheory's
+    # Miller-Rabin witnesses; seeding keeps failures reproducible.
+    random.seed(1234567)

