@@ -1,0 +1,164 @@
+"""Batched fixed-width big-integer arithmetic in base-2^15 limbs on uint32 lanes.
+
+This is the device-side replacement for the reference's GMP backend
+(phe/util.py:38-64 — powmod/mulmod are the only hot primitives): instead of
+per-number C calls, whole batches of big integers live as ``uint32[..., L]``
+tensors (least-significant limb first) and flow through vectorised
+multiply / carry / Montgomery-reduce steps that XLA maps onto the TPU VPU.
+Every function here is shape-polymorphic over leading (batch/group) dims.
+
+Representation and bounds
+=========================
+A big integer is ``sum(limb[i] << (15 * i))`` with limbs held *redundantly*:
+the invariant restored after every step is ``limb <= 2**15`` (one over the
+canonical maximum 2**15 - 1). That makes a **fixed three-pass carry** sound:
+
+* products: operand limbs <= 2**15 give partial products <= 2**30 < 2**32;
+* schoolbook accumulation: an output slot receives at most 2L product
+  halves, each <= 2**15, so slots stay < 2L * 2**15 < 2**31 for L < 2**15;
+* carry pass 1 on slots < 2**31 leaves limbs < 2**15 + 2**16;
+* pass 2 carries are <= 4, leaving limbs <= 2**15 + 3;
+* pass 3 carries are <= 1, restoring limbs <= 2**15.
+
+Radix 2**15 (not 2**16) is what keeps products of two *redundant* limbs
+inside uint32; a 16-bit radix would need a full sequential normalisation
+between steps.
+
+Carries out of the top limb are dropped by design: all callers bound the
+represented value below the array's capacity, and with non-negative limbs
+that forces the dropped carry to be zero (value < 2**(15*L) and
+limb[L] >= 1 would contradict each other).
+
+Montgomery usage (phe_tpu.ops.montgomery): L = ceil(bits / 15) always gives
+the Montgomery radix R = 2**(15 L) at least 2**7 of headroom over the
+modulus M, so the "no final subtraction" variant applies — chain values
+stay < 2M with no data-dependent branches inside modexp (which also closes
+the timing side channel the reference ignores). Normalisation to canonical
+form happens only at boundaries (export / compare / decrypt windows).
+"""
+
+import jax
+import jax.numpy as jnp
+
+LIMB_BITS = 15
+LIMB_MASK = (1 << LIMB_BITS) - 1
+
+
+def _shift_up(c):
+    """Move a carry vector up one limb (c[i] contributes at position i+1)."""
+    pad = [(0, 0)] * (c.ndim - 1) + [(1, 0)]
+    return jnp.pad(c[..., :-1], pad)
+
+
+def carry_pass(x):
+    """One redistribute step: keep low 15 bits, push the rest up one limb."""
+    return (x & LIMB_MASK) + _shift_up(x >> LIMB_BITS)
+
+
+def carry_fix(x):
+    """Restore the redundant invariant (limbs <= 2**15).
+
+    Sound for any accumulator with limbs < 2**31 (all accumulators in this
+    module are; see module docstring for the three-pass bound chain).
+    """
+    return carry_pass(carry_pass(carry_pass(x)))
+
+
+def add(a, b):
+    """Redundant add of equal-width limb arrays (limb sums <= 2**16)."""
+    return carry_fix(a + b)
+
+
+def mul_full(a, b):
+    """Full schoolbook product: [..., La] x [..., Lb] -> [..., La+Lb].
+
+    Batched independent big-int multiply: each leading-dim element
+    multiplies its own (a, b) pair. Iterates over the limbs of ``a``,
+    broadcasting one scalar limb per element against all of ``b`` — the
+    row-wise schoolbook form that vectorises on the VPU with no gathers.
+    Partial products are split into 15-bit halves and accumulated
+    carry-free in uint32.
+
+    Requires value(a) * value(b) < 2**(15 * (La + Lb)) (all callers keep
+    values far below limb-array capacity).
+    """
+    La = a.shape[-1]
+    Lb = b.shape[-1]
+    batch = a.shape[:-1]
+    nbatch = len(batch)
+    acc = jnp.zeros(batch + (La + Lb,), dtype=jnp.uint32)
+
+    def body(i, acc):
+        ai = jax.lax.dynamic_slice_in_dim(a, i, 1, axis=-1)  # [..., 1]
+        p = ai * b  # [..., Lb], <= 2**30
+        lo = jnp.pad(p & LIMB_MASK, [(0, 0)] * nbatch + [(0, 1)])
+        hi = jnp.pad(p >> LIMB_BITS, [(0, 0)] * nbatch + [(1, 0)])
+        seg = jax.lax.dynamic_slice_in_dim(acc, i, Lb + 1, axis=-1)
+        return jax.lax.dynamic_update_slice_in_dim(
+            acc, seg + lo + hi, i, axis=-1
+        )
+
+    acc = jax.lax.fori_loop(0, La, body, acc, unroll=False)
+    return carry_fix(acc)
+
+
+def mul_low(a, b, out_limbs):
+    """Low ``out_limbs`` limbs of a*b: the product mod 2**(15*out_limbs).
+
+    Used for the Montgomery quotient m = (T mod R) * M' mod R. Truncating
+    the redundant full product keeps the value congruent mod R; the result
+    may represent a value slightly above R (redundant headroom), which the
+    Montgomery bound analysis in phe_tpu.ops.montgomery accounts for.
+    """
+    a = a[..., :out_limbs]
+    b = b[..., :out_limbs]
+    return mul_full(a, b)[..., :out_limbs]
+
+
+def shift_right_limbs_exact(x, nlimbs):
+    """Divide by R = 2**(15*nlimbs) when value(x) is an exact multiple of R.
+
+    In redundant form the low limbs' partial sum S_low is a multiple of R
+    (Montgomery invariant) and < 2R (limbs <= 2**15), hence S_low is 0 or
+    exactly R: the carry into the high half is 1 iff any low limb is
+    non-zero.
+    """
+    low = x[..., :nlimbs]
+    high = x[..., nlimbs:]
+    carry = jnp.any(low != 0, axis=-1).astype(jnp.uint32)
+    return carry_fix(high.at[..., 0].add(carry))
+
+
+def normalize(x):
+    """Fully propagate carries to canonical limbs (<= 2**15 - 1).
+
+    Boundary-only helper (export, compare, decode windows); Montgomery
+    chains stay redundant. while_loop until stable — expected 2-3 trips,
+    worst case one per limb for a +1 ripple through 0x7fff runs.
+    """
+    return jax.lax.while_loop(
+        lambda s: jnp.any(s > LIMB_MASK), carry_pass, x
+    )
+
+
+def cond_sub(x, m_complement, m_width):
+    """Map canonical x < 2M into [0, M): subtract M once if x >= M.
+
+    Branch-free via the radix complement: with comp = R - M (host
+    precomputed, canonical limbs), s = x + comp < 2R, and after
+    normalisation over m_width+1 limbs the top limb is 1 iff x >= M, in
+    which case the low limbs are exactly x - M.
+
+    Args:
+      x: canonical limbs [..., m_width], value < 2M.
+      m_complement: canonical limbs [m_width] (broadcastable), R - M.
+      m_width: number of limbs L with R = 2**(15 L).
+    """
+    nbatch = x.ndim - 1
+    widen = [(0, 0)] * nbatch + [(0, 1)]
+    s = jnp.pad(x, widen) + jnp.pad(
+        jnp.broadcast_to(m_complement, x.shape), widen
+    )
+    s = normalize(s)
+    ge = s[..., m_width] >= 1
+    return jnp.where(ge[..., None], s[..., :m_width], x)

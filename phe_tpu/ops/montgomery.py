@@ -1,0 +1,271 @@
+"""Batched Montgomery modular arithmetic: the TPU replacement for GMP powmod.
+
+Everything the Paillier hot path needs (phe/paillier.py:136-139 obfuscation,
+:328-354 CRT decrypt, :721-751 scalar multiply — each a modexp; :705-719
+ciphertext add — a modmul) is expressed here as batched Montgomery-domain
+operations over the redundant limb tensors of phe_tpu.ops.limb_math.
+
+Design:
+* per-modulus constants are computed once on host from Python ints and
+  packed into a ``MontgomeryContext`` pytree (a scalar-prefetch-style
+  constant bundle);
+* the limb count L = ceil((bits(M) + 16) / 15) keeps the Montgomery radix
+  R = 2**(15 L) at least 2**16 above M, so the subtraction-free variant
+  holds: every chained value stays < 1.01 M (bound: REDC output
+  <= T/R + (1+eps) M with T < 16 M^2 <= R M), and no data-dependent
+  compare/subtract appears inside loops — uniform, constant-shape work
+  that XLA compiles to straight-line VPU code;
+* modexp is a ``lax.scan`` over fixed-width exponent windows (default 4
+  bits): w squarings plus one table multiply per window, with the
+  16-entry table built per batch. Exponent digits are runtime int32
+  inputs, so one compiled program serves every key of a given geometry;
+* the per-element variant selects table entries with a one-hot
+  contraction instead of a gather — constant-time with respect to the
+  exponent, unlike the reference's pow() (docs/caveats.rst ignores timing
+  side channels; here uniformity falls out of the SIMD design).
+"""
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phe_tpu.ops import limb_math as lm
+from phe_tpu.utils import limbs as hl
+
+DEFAULT_WINDOW = 4
+
+
+class MontgomeryContext(NamedTuple):
+    """Per-modulus device constants (host-built, static shapes).
+
+    Attributes:
+      m: canonical limbs [L] of the modulus M.
+      m_prime: [L] limbs of M' = -M^-1 mod R.
+      r2: [L] limbs of R^2 mod M (to-Montgomery factor).
+      one: [L] limbs of R mod M (Montgomery representation of 1).
+      m_comp: [L] limbs of R - M (for branch-free conditional subtract).
+    """
+
+    m: jnp.ndarray
+    m_prime: jnp.ndarray
+    r2: jnp.ndarray
+    one: jnp.ndarray
+    m_comp: jnp.ndarray
+
+    @property
+    def num_limbs(self):
+        return self.m.shape[-1]
+
+
+def num_limbs_for_modulus(modulus_bits):
+    """L such that R = 2**(15 L) >= 2**16 * M for any M of modulus_bits."""
+    return -(-(modulus_bits + 16) // lm.LIMB_BITS)
+
+
+def build_context(modulus, num_limbs=None):
+    """Host-side construction of a MontgomeryContext from a Python int."""
+    if num_limbs is None:
+        num_limbs = num_limbs_for_modulus(modulus.bit_length())
+    R = 1 << (lm.LIMB_BITS * num_limbs)
+    if R < (modulus << 16):
+        raise ValueError("num_limbs too small for subtraction-free Montgomery")
+    m_prime = (-pow(modulus, -1, R)) % R
+    pack = lambda v: jnp.asarray(hl.int_to_limbs(v, num_limbs))
+    return MontgomeryContext(
+        m=pack(modulus),
+        m_prime=pack(m_prime),
+        r2=pack(R * R % modulus),
+        one=pack(R % modulus),
+        m_comp=pack(R - modulus),
+    )
+
+
+def redc(t, ctx):
+    """Montgomery reduction: value(t) * R^-1 mod M, redundant limbs.
+
+    t: [..., W] with W >= 2L and value < c*R*M (c a small constant).
+    Output [..., W-L] with value < (c + 1.01) * M (subtraction-free;
+    see module docstring for bounds). Callers truncate the output to L
+    limbs once the value bound is below beta^L.
+    """
+    L = ctx.num_limbs
+    W = t.shape[-1]
+    nbatch = t.ndim - 1
+    m_q = lm.mul_low(t, jnp.broadcast_to(ctx.m_prime, t.shape[:-1] + (L,)), L)
+    mm = lm.mul_full(m_q, jnp.broadcast_to(ctx.m, m_q.shape))  # [..., 2L]
+    if W > 2 * L:
+        mm = jnp.pad(mm, [(0, 0)] * nbatch + [(0, W - 2 * L)])
+    u = lm.add(t, mm)
+    return lm.shift_right_limbs_exact(u, L)
+
+
+def mont_mul(a, b, ctx):
+    """Montgomery product: a*b*R^-1 mod M over [..., L] operands."""
+    return redc(lm.mul_full(a, b), ctx)
+
+
+def to_mont(x, ctx):
+    """Enter the Montgomery domain: x -> x*R mod M.
+
+    Accepts inputs up to L+1 limbs wide with value < 2**8 * R (the
+    mod_reduce output bound): the REDC output is then < 2**8 * M + 1.01 M,
+    far below beta^L, so truncating back to L limbs is exact.
+    """
+    L = ctx.num_limbs
+    out = redc(lm.mul_full(x, jnp.broadcast_to(ctx.r2, x.shape[:-1] + (L,))), ctx)
+    return out[..., :L]
+
+
+def from_mont(x, ctx):
+    """Leave the Montgomery domain: x*R -> x mod M (redundant, < 1.01 M)."""
+    nbatch = x.ndim - 1
+    t = jnp.pad(x, [(0, 0)] * nbatch + [(0, ctx.num_limbs)])
+    return redc(t, ctx)
+
+
+def export_canonical(x, ctx):
+    """Boundary helper: redundant value < 2M -> canonical limbs in [0, M)."""
+    x = lm.normalize(x)
+    return lm.cond_sub(x, ctx.m_comp, ctx.num_limbs)
+
+
+def _windowed_table(base, ctx, window):
+    """Powers table [2**w, ..., L]: table[k] = base^k in Montgomery form."""
+    one = jnp.broadcast_to(ctx.one, base.shape).astype(jnp.uint32)
+
+    def step(prev, _):
+        nxt = mont_mul(prev, base, ctx)
+        return nxt, nxt
+
+    _, powers = jax.lax.scan(step, one, None, length=2**window - 1)
+    return jnp.concatenate([one[None], powers], axis=0)
+
+
+def exponent_digits(exponent, exponent_bits, window=DEFAULT_WINDOW):
+    """Host helper: fixed-width base-2**window digits, MSB first (int32)."""
+    n_windows = -(-exponent_bits // window)
+    mask = (1 << window) - 1
+    return np.array(
+        [(exponent >> (window * i)) & mask for i in reversed(range(n_windows))],
+        dtype=np.int32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def mont_pow_shared(base, digits, ctx, window=DEFAULT_WINDOW):
+    """base^e in Montgomery form, one exponent shared across the batch.
+
+    This covers every key-defined exponent in Paillier: r^n mod n^2
+    (obfuscation), c^(p-1) mod p^2 and c^(q-1) mod q^2 (CRT decrypt) —
+    the exponent is a property of the key, the bases vary per element.
+
+    Args:
+      base: [..., L] Montgomery-domain bases.
+      digits: [n_windows] int32, MSB-first base-2**window digits of e.
+      ctx: MontgomeryContext (arrays broadcastable against base).
+    Returns [..., L] base^e * R mod M (redundant form).
+    """
+    table = _windowed_table(base, ctx, window)
+    one = jnp.broadcast_to(ctx.one, base.shape).astype(jnp.uint32)
+
+    def step(acc, digit):
+        for _ in range(window):
+            acc = mont_mul(acc, acc, ctx)
+        factor = jax.lax.dynamic_index_in_dim(table, digit, 0, keepdims=False)
+        return mont_mul(acc, factor, ctx), None
+
+    acc, _ = jax.lax.scan(step, one, digits)
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def mont_pow(base, digits, ctx, window=DEFAULT_WINDOW):
+    """base^e with a per-element exponent (scalar-multiply path).
+
+    Args:
+      base: [..., L] Montgomery-domain bases.
+      digits: [..., n_windows] int32 MSB-first digits, one row per element.
+    Returns [..., L].
+
+    The table entry is selected by a one-hot contraction rather than a
+    gather: constant-time in the exponent and VPU-friendly (16 fused
+    multiply-selects per window versus the ~L^2 cost of the modmul).
+    """
+    table = _windowed_table(base, ctx, window)  # [K, ..., L]
+    one = jnp.broadcast_to(ctx.one, base.shape).astype(jnp.uint32)
+    digits_first = jnp.moveaxis(digits, -1, 0)  # [n_windows, ...]
+
+    K = 2**window
+
+    def step(acc, digit):
+        for _ in range(window):
+            acc = mont_mul(acc, acc, ctx)
+        onehot = (
+            digit[None, ...] == jnp.arange(K, dtype=digit.dtype).reshape(
+                (K,) + (1,) * digit.ndim
+            )
+        ).astype(jnp.uint32)
+        factor = jnp.sum(table * onehot[..., None], axis=0)
+        return mont_mul(acc, factor, ctx), None
+
+    acc, _ = jax.lax.scan(step, one, digits_first)
+    return acc
+
+
+class ReduceTable(NamedTuple):
+    """Constants for reducing wide values mod M: powers beta^(L+j) mod M."""
+
+    powers: jnp.ndarray  # [K, L] canonical limbs of 2**(15*(L+j)) mod M
+
+    @property
+    def extra_limbs(self):
+        return self.powers.shape[0]
+
+
+def build_reduce_table(modulus, ctx, in_limbs):
+    """Host-side table for mod_reduce of in_limbs-wide inputs."""
+    L = ctx.num_limbs
+    K = in_limbs - L
+    if K <= 0:
+        raise ValueError("input is not wider than the modulus context")
+    rows = [
+        hl.int_to_limbs(pow(1 << lm.LIMB_BITS, L + j, modulus), L)
+        for j in range(K)
+    ]
+    return ReduceTable(powers=jnp.asarray(np.stack(rows)))
+
+
+def mod_reduce(x, ctx, table):
+    """Partially reduce a wide value: [..., Lx] -> [..., L+1], value < 1.51*R.
+
+    Folds every limb above position L through the precomputed
+    beta^(L+j) mod M powers, twice (the second fold sees at most two
+    over-limbs). The result is small enough for to_mont (value < R, with
+    product against R^2 mod M staying under 16*M*R).
+    """
+    L = ctx.num_limbs
+
+    def fold(v):
+        low = v[..., :L]
+        high = v[..., L:]
+        K = high.shape[-1]
+        nbatch = v.ndim - 1
+        acc = jnp.pad(low, [(0, 0)] * nbatch + [(0, 1)])  # [..., L+1]
+
+        def body(j, acc):
+            hj = jax.lax.dynamic_slice_in_dim(high, j, 1, axis=-1)  # [..., 1]
+            row = jax.lax.dynamic_index_in_dim(table.powers, j, 0, False)
+            p = hj * row  # [..., L] products <= 2**30
+            lo = jnp.pad(p & lm.LIMB_MASK, [(0, 0)] * nbatch + [(0, 1)])
+            hi = jnp.pad(p >> lm.LIMB_BITS, [(0, 0)] * nbatch + [(1, 0)])
+            return acc + lo + hi
+
+        acc = jax.lax.fori_loop(0, K, body, acc)
+        return lm.carry_fix(acc)  # [..., L+1]
+
+    y = fold(x)  # value <= beta^L(1+eps) + K*2**15*M <= 2**8 * R
+    y = fold(y)  # value <= beta^L(1+eps) + 2**15*M < 1.51 * R
+    return y  # [..., L+1]; to_mont accepts this width and value bound

@@ -15,6 +15,13 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon TPU plugin in this environment force-prepends itself to
+# jax_platforms regardless of the env var; override after import so tests
+# never pay remote-TPU compile latency.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import random
 
 import pytest
