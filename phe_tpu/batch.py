@@ -1,0 +1,695 @@
+"""Batch-first Paillier: ciphertext batches as Montgomery limb tensors on TPU.
+
+This is the TPU-native core of the framework. Where the reference processes
+one CPython int at a time through gmpy2 (phe/paillier.py), here a batch of B
+ciphertexts lives on device as ``uint32[B, L]`` limbs in the Montgomery
+domain mod n^2, and every operation in the reference's API surface
+(encrypt / decrypt / add / add_scalar / mul_scalar / obfuscate /
+decrease_exponent_to, SURVEY.md §2 C5/C6/C9) is a jitted batch program:
+
+* fresh encryption: nude = n*m + 1 (the g = n+1 shortcut,
+  phe/paillier.py:132-134) times the obfuscator r^n — one shared-exponent
+  Montgomery modexp over the whole batch;
+* decryption: CRT with exponents p-1, q-1 over the half-width moduli p^2,
+  q^2 (phe/paillier.py:346-353), with the L-function / hp,hq multiply /
+  CRT recombination finishing in exact host arithmetic (cheap O(1) bigint
+  ops per element versus the O(bits) modexp on device);
+* homomorphic add: one Montgomery multiply mod n^2 (phe/paillier.py:705-719);
+* scalar multiply: per-element-exponent modexp (phe/paillier.py:721-751).
+
+Encoding exponents are host-side numpy metadata (they are small public
+ints; alignment decisions are data-dependent on them, which is host logic,
+not device logic). Ciphertext limbs never leave the device except at
+explicit import/export boundaries.
+
+Exponent-bit schedules are runtime int32 inputs, so one compiled program
+per key geometry (bit length, batch shape) serves every key.
+
+Shape bucketing: device compilation is keyed on shapes, and (especially over
+a remote/tunnelled TPU) each fresh shape costs tens of seconds of compile.
+Batch rows are therefore padded up to power-of-two buckets with identity
+elements (m=0, r=1, factor=1 — all no-ops under the respective op) and digit
+schedules to multiples of 8 windows (leading zero windows are no-ops), so
+the engine converges on a small closed set of compiled programs. The
+``mont`` tensor of an EncryptedBatch always carries the bucketed row count;
+the logical batch length is ``len(exponents)``.
+"""
+
+import secrets
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phe_tpu import config as _config
+from phe_tpu.encoding import EncodedNumber
+from phe_tpu.ops import limb_math as lm
+from phe_tpu.ops import montgomery as mg
+from phe_tpu.utils import limbs as hl
+
+_config.enable_persistent_cache()
+
+DEFAULT_WINDOW = mg.DEFAULT_WINDOW
+_MIN_BUCKET = 4
+_WINDOW_GROUP = 8
+
+
+def bucket_rows(b):
+    """Smallest power-of-two row count >= b (min 4)."""
+    return max(_MIN_BUCKET, 1 << (b - 1).bit_length()) if b > 1 else _MIN_BUCKET
+
+
+def _bucket_bits(bits, window=DEFAULT_WINDOW):
+    """Round a digit-schedule width up to whole groups of 8 windows."""
+    group = window * _WINDOW_GROUP
+    return -(-bits // group) * group
+
+
+def _digits_rows(exponents, bits, window=DEFAULT_WINDOW, pad_rows=None,
+                 pad_value=1):
+    """Stack per-element MSB-first digit schedules into [Bp, n_windows].
+
+    Width-bucketed; rows padded to pad_rows with the schedule of pad_value
+    (default 1: x^1 = x, a safe identity for padded lanes).
+    """
+    bits = _bucket_bits(max(bits, 1), window)
+    exponents = list(exponents)
+    if pad_rows is not None and len(exponents) < pad_rows:
+        exponents += [pad_value] * (pad_rows - len(exponents))
+    return np.stack([mg.exponent_digits(e, bits, window) for e in exponents])
+
+
+def _pad_list(values, target, fill):
+    values = list(values)
+    return values + [fill] * (target - len(values))
+
+
+# -- fused device programs ---------------------------------------------------
+#
+# Every public operation is ONE jitted program (one compile per key/batch
+# geometry, one dispatch per call): eager per-primitive dispatch is what
+# makes remote-device (tunnelled TPU) execution crawl, and jit boundaries
+# are also where XLA fuses the elementwise carry pipeline.
+
+
+@jax.jit
+def _mul_mont_dev(a, b, ctx):
+    return mg.mont_mul(a, b, ctx)
+
+
+@jax.jit
+def _pack_mont_dev(x, ctx):
+    return mg.to_mont(x, ctx)
+
+
+@jax.jit
+def _export_dev(mont, ctx):
+    return mg.export_canonical(mg.from_mont(mont, ctx), ctx)
+
+
+@jax.jit
+def _encrypt_dev(m, r, n_limbs, n_digits, ctx):
+    """Fused fresh encryption: (n*m + 1) * r^n mod n^2, Montgomery form."""
+    nude = _nude_raw(m, n_limbs, ctx)
+    obf = mg.mont_pow_shared(mg.to_mont(r, ctx), n_digits, ctx)
+    return mg.mont_mul(nude, obf, ctx)
+
+
+@jax.jit
+def _obfuscate_dev(mont, r, n_digits, ctx):
+    """Fused re-obfuscation: ct * r^n mod n^2 (phe/paillier.py:603-624)."""
+    obf = mg.mont_pow_shared(mg.to_mont(r, ctx), n_digits, ctx)
+    return mg.mont_mul(mont, obf, ctx)
+
+
+@jax.jit
+def _add_encoded_dev(mont, m, n_limbs, ctx):
+    """Fused scalar add: ct * (n*m + 1) mod n^2 (phe/paillier.py:673-675)."""
+    return mg.mont_mul(mont, _nude_raw(m, n_limbs, ctx), ctx)
+
+
+def _nude_raw(m, n_limbs, ctx):
+    nm = lm.mul_full(m, jnp.broadcast_to(n_limbs, m.shape))
+    nm1 = lm.carry_fix(nm.at[..., 0].add(1))
+    pad = ctx.num_limbs - nm1.shape[-1]
+    nm1 = jnp.pad(nm1, [(0, 0)] * (nm1.ndim - 1) + [(0, pad)])
+    return mg.to_mont(nm1, ctx)
+
+
+def _tree_fold(mont, ctx):
+    """Modmul tree over the leading axis; static shapes, traced inline."""
+    while mont.shape[0] > 1:
+        size = mont.shape[0]
+        half = size // 2
+        merged = mg.mont_mul(mont[:half], mont[half : 2 * half], ctx)
+        if size % 2:
+            merged = jnp.concatenate([merged, mont[2 * half :]], axis=0)
+        mont = merged
+    return mont
+
+
+@jax.jit
+def _tree_reduce_dev(mont, ctx):
+    """Homomorphic sum: one program for the whole log-depth modmul tree."""
+    return _tree_fold(mont, ctx)
+
+
+@jax.jit
+def _tree_reduce_masked_dev(mont, valid, ctx):
+    """Masked homomorphic sum: rows with valid == 0 count as identity.
+
+    valid: uint32[B] runtime mask — one program serves every logical
+    batch length sharing a bucketed shape.
+    """
+    one = jnp.broadcast_to(ctx.one, mont.shape).astype(mont.dtype)
+    masked = jnp.where(valid[:, None] != 0, mont, one)
+    return _tree_fold(masked, ctx)
+
+
+@jax.jit
+def _matvec_dev(mont, digits, align_digits, ctx):
+    """Fused encrypted matvec: grid pow, alignment pow, tree over D.
+
+    mont: [D, L] encrypted weights; digits: [B, D, W] plaintext matrix
+    digit schedules; align_digits: [B, D, W2] BASE**diff schedules.
+    """
+    B = digits.shape[0]
+    base = jnp.broadcast_to(mont, (B,) + mont.shape)
+    powed = mg.mont_pow(base, digits, ctx)
+    aligned = mg.mont_pow(powed, align_digits, ctx)
+    return _tree_fold(jnp.moveaxis(aligned, 1, 0), ctx)[0]
+
+
+@jax.jit
+def _crt_powers_dev(ct_mont, pub_ctx, ctx_p, red_p, dp_digits, ctx_q, red_q,
+                    dq_digits):
+    """Fused device half of CRT decryption for both half-width moduli."""
+    plain = mg.from_mont(ct_mont, pub_ctx)
+    outs = []
+    for ctx, table, digits in (
+        (ctx_p, red_p, dp_digits),
+        (ctx_q, red_q, dq_digits),
+    ):
+        x = mg.mod_reduce(plain, ctx, table)
+        powed = mg.mont_pow_shared(mg.to_mont(x, ctx), digits, ctx)
+        outs.append(mg.export_canonical(mg.from_mont(powed, ctx), ctx))
+    return tuple(outs)
+
+
+class PublicDeviceContext:
+    """Per-public-key device constants and jitted batch programs."""
+
+    def __init__(self, public_key):
+        self.public_key = public_key
+        n = public_key.n
+        self.n = n
+        self.n_bits = n.bit_length()
+        self.ctx = mg.build_context(public_key.nsquare)
+        self.L = self.ctx.num_limbs  # limbs of the mod-n^2 engine
+        self.Ln = hl.num_limbs_for_bits(self.n_bits)  # packing width for m < n
+        self.n_limbs = jnp.asarray(hl.int_to_limbs(n, self.Ln))
+        # Digit schedule of the public exponent n (obfuscator r^n).
+        self.n_digits = jnp.asarray(mg.exponent_digits(n, self.n_bits))
+        # Short-exponent obfuscation state (built lazily by obfuscator_pool).
+        self._h_mont = None
+
+    @classmethod
+    def build(cls, public_key):
+        return cls(public_key)
+
+    # -- packing ---------------------------------------------------------
+
+    def pack_mod_nsquare(self, values):
+        """Canonical residues mod n^2 -> Montgomery-domain [Bp, L]."""
+        values = _pad_list(values, bucket_rows(len(values)), 1)
+        x = jnp.asarray(hl.ints_to_limbs(values, self.L))
+        return _pack_mont_dev(x, self.ctx)
+
+    def export_ints(self, mont_arr):
+        """Montgomery-domain [B, L] -> canonical Python ints in [0, n^2)."""
+        plain = _export_dev(mont_arr, self.ctx)
+        return hl.limbs_to_ints(np.asarray(jax.device_get(plain)))
+
+    # -- core batch programs ----------------------------------------------
+
+    def pack_messages(self, encodings, pad_rows=None):
+        """Encoded residues m < n -> [Bp, Ln] limb array (device input).
+
+        Rows pad with m = 0 (the additive/encryption identity: nude
+        ciphertext 1) up to pad_rows or the bucket size.
+        """
+        if pad_rows is None:
+            pad_rows = bucket_rows(len(encodings))
+        encodings = _pad_list(encodings, pad_rows, 0)
+        return jnp.asarray(hl.ints_to_limbs(encodings, self.Ln))
+
+    def nude_encrypt(self, encodings):
+        """(n*m + 1) mod n^2 in Montgomery form, for residues m < n.
+
+        The g = n+1 shortcut (phe/paillier.py:132-134) holds for every
+        residue m in [0, n) — including the reference's "negative window",
+        where its modular-inverse branch (:125-130) is algebraically
+        identical — so the batch path needs no data-dependent branch.
+        """
+        return _nude_encrypt_dev(self.pack_messages(encodings),
+                                 self.n_limbs, self.ctx)
+
+    def random_r_limbs(self, count, r_values=None):
+        """[Bp, L] packed uniform r < n from the system CSPRNG.
+
+        With r_values given, reproduces the reference bit-for-bit
+        (phe/paillier.py:136-143 obfuscator semantics). Pads to the row
+        bucket with r = 1 (identity obfuscator).
+        """
+        if r_values is None:
+            r_values = [1 + secrets.randbelow(self.n - 1) for _ in range(count)]
+        r_values = _pad_list(r_values, bucket_rows(count), 1)
+        return jnp.asarray(hl.ints_to_limbs(r_values, self.L))
+
+    def encrypt_mont(self, encodings, r_values=None):
+        """Fused fresh encryption (n*m+1)*r^n for encoded residues."""
+        return _encrypt_dev(
+            self.pack_messages(encodings),
+            self.random_r_limbs(len(encodings), r_values),
+            self.n_limbs,
+            self.n_digits,
+            self.ctx,
+        )
+
+    def obfuscate_mont(self, mont):
+        """Fresh uniform re-obfuscation of a Montgomery ciphertext batch."""
+        return _obfuscate_dev(
+            mont, self.random_r_limbs(mont.shape[0]), self.n_digits, self.ctx
+        )
+
+    def obfuscate_mont_short(self, mont, exponent_bits=320):
+        """Fast re-obfuscation h^a with h = x^n fixed and a random, short.
+
+        Damgard-Jurik-style shortened randomness: h is one precomputed
+        random n-th power; a fresh 320-bit exponent per element gives
+        obfuscators computationally indistinguishable from uniform n-th
+        powers under the decisional composite residuosity assumption in
+        the subgroup, at ~n_bits/exponent_bits the modexp cost. This is a
+        deliberate, documented deviation knob from the reference's
+        uniform-r sampling (docs/caveats.rst notes phe itself has had no
+        security audit); the default encrypt path stays exact.
+        """
+        if self._h_mont is None:
+            x = 1 + secrets.randbelow(self.n - 1)
+            xm = _pack_mont_dev(
+                jnp.asarray(hl.ints_to_limbs([x], self.L)), self.ctx
+            )
+            self._h_mont = mg.mont_pow_shared(xm, self.n_digits, self.ctx)[0]
+        count = mont.shape[0]
+        a = [secrets.randbits(exponent_bits) for _ in range(count)]
+        digits = jnp.asarray(_digits_rows(a, exponent_bits))
+        base = jnp.broadcast_to(self._h_mont, (count, self.L))
+        obf = mg.mont_pow(base, digits, self.ctx)
+        return _mul_mont_dev(mont, obf, self.ctx)
+
+    def mul_mont(self, a, b):
+        return _mul_mont_dev(a, b, self.ctx)
+
+    def pow_scalars(self, ct_mont, exponents, exponent_bits):
+        """ct^e_i with per-element exponents (scalar multiply).
+
+        Pads the exponent list to the (bucketed) row count of ct_mont
+        with e = 1, under which padded rows stay encryptions of 0.
+        """
+        digits = jnp.asarray(
+            _digits_rows(exponents, exponent_bits, pad_rows=ct_mont.shape[0])
+        )
+        return mg.mont_pow(ct_mont, digits, self.ctx)
+
+
+@jax.jit
+def _nude_encrypt_dev(m, n_limbs, ctx):
+    return _nude_raw(m, n_limbs, ctx)
+
+
+class PrivateDeviceContext:
+    """Per-private-key device constants for batched CRT decryption."""
+
+    def __init__(self, private_key):
+        self.private_key = private_key
+        pub = private_key.public_key
+        self.pub_ctx = pub.device_context()
+        p, q = private_key.p, private_key.q
+        self.ctx_p = mg.build_context(private_key.psquare)
+        self.ctx_q = mg.build_context(private_key.qsquare)
+        wide = self.pub_ctx.L
+        self.red_p = mg.build_reduce_table(private_key.psquare, self.ctx_p, wide)
+        self.red_q = mg.build_reduce_table(private_key.qsquare, self.ctx_q, wide)
+        half_bits = max(p.bit_length(), q.bit_length())
+        self.dp_digits = jnp.asarray(mg.exponent_digits(p - 1, half_bits))
+        self.dq_digits = jnp.asarray(mg.exponent_digits(q - 1, half_bits))
+
+    @classmethod
+    def build(cls, private_key):
+        return cls(private_key)
+
+    def crt_powers(self, ct_mont):
+        """Device half of raw_decrypt: (c^(p-1) mod p^2, c^(q-1) mod q^2).
+
+        One fused program; returns canonical limb arrays. The cheap
+        L-function / hp,hq / CRT tail (phe/paillier.py:346-374) finishes
+        in exact host arithmetic.
+        """
+        return _crt_powers_dev(
+            ct_mont, self.pub_ctx.ctx,
+            self.ctx_p, self.red_p, self.dp_digits,
+            self.ctx_q, self.red_q, self.dq_digits,
+        )
+
+    def raw_decrypt_batch(self, ct_mont):
+        """Exact plaintext residues mod n for a Montgomery ciphertext batch."""
+        key = self.private_key
+        mp_arr, mq_arr = self.crt_powers(ct_mont)
+        mp_ints = hl.limbs_to_ints(np.asarray(jax.device_get(mp_arr)))
+        mq_ints = hl.limbs_to_ints(np.asarray(jax.device_get(mq_arr)))
+        out = []
+        for cp, cq in zip(mp_ints, mq_ints):
+            mp = key.l_function(cp % key.psquare, key.p) * key.hp % key.p
+            mq = key.l_function(cq % key.qsquare, key.q) * key.hq % key.q
+            out.append(key.crt(mp, mq))
+        return out
+
+
+class EncryptedBatch:
+    """A batch of Paillier ciphertexts resident on device.
+
+    Attributes:
+      public_key: the shared PaillierPublicKey.
+      mont: uint32[B, L] ciphertexts, Montgomery domain mod n^2.
+      exponents: int64 numpy [B], per-element encoding exponents.
+      is_obfuscated: whether every element carries fresh r^n blinding
+        (the lazy-obfuscation state machine, phe/paillier.py:531-568).
+    """
+
+    def __init__(self, public_key, mont, exponents, is_obfuscated=False):
+        self.public_key = public_key
+        self.mont = mont
+        self.exponents = np.asarray(exponents, dtype=np.int64)
+        self.is_obfuscated = is_obfuscated
+
+    def __len__(self):
+        """Logical batch length (the mont tensor rows are bucket-padded)."""
+        return len(self.exponents)
+
+    @property
+    def mont_logical(self):
+        """Montgomery limb rows for just the logical batch (padding trimmed)."""
+        return self.mont[: len(self)]
+
+    @property
+    def _dc(self):
+        return self.public_key.device_context()
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def encrypt(cls, public_key, values, precision=None, r_values=None,
+                obfuscation="exact"):
+        """Encode and encrypt a sequence of ints/floats.
+
+        obfuscation: "exact" draws uniform r < n and computes r^n (the
+        reference's distribution, phe/paillier.py:136-143); "short" uses
+        the precomputed-base short-exponent scheme (see
+        PublicDeviceContext.obfuscators_short); "none" leaves ciphertexts
+        unblinded (r=1) with is_obfuscated False, for intermediate values.
+        """
+        dc = public_key.device_context()
+        encodings = [
+            v if isinstance(v, EncodedNumber)
+            else EncodedNumber.encode(public_key, v, precision)
+            for v in values
+        ]
+        exponents = [e.exponent for e in encodings]
+        residues = [e.encoding for e in encodings]
+        if r_values is not None:
+            mont = dc.encrypt_mont(residues, r_values)
+            return cls(public_key, mont, exponents, is_obfuscated=False)
+        if obfuscation == "exact":
+            mont = dc.encrypt_mont(residues)
+        elif obfuscation == "short":
+            nude = dc.nude_encrypt(residues)
+            mont = dc.obfuscate_mont_short(nude)
+        elif obfuscation == "none":
+            return cls(
+                public_key, dc.nude_encrypt(residues), exponents,
+                is_obfuscated=False,
+            )
+        else:
+            raise ValueError("unknown obfuscation mode: %r" % (obfuscation,))
+        return cls(public_key, mont, exponents, is_obfuscated=True)
+
+    @classmethod
+    def from_ciphertext_ints(cls, public_key, ciphertexts, exponents,
+                             is_obfuscated=False):
+        """Import raw int ciphertexts (deserialisation boundary)."""
+        dc = public_key.device_context()
+        mont = dc.pack_mod_nsquare(list(ciphertexts))
+        return cls(public_key, mont, exponents, is_obfuscated)
+
+    @classmethod
+    def from_encrypted_numbers(cls, numbers, be_secure=False):
+        """Lift scalar EncryptedNumber objects onto the device."""
+        if not numbers:
+            raise ValueError("empty batch")
+        pub = numbers[0].public_key
+        cts = [e.ciphertext(be_secure=be_secure) for e in numbers]
+        exps = [e.exponent for e in numbers]
+        return cls.from_ciphertext_ints(pub, cts, exps, is_obfuscated=be_secure)
+
+    # -- export ------------------------------------------------------------
+
+    def ciphertext_ints(self, be_secure=True):
+        """Raw int ciphertexts, obfuscating first when be_secure."""
+        batch = self.obfuscate() if (be_secure and not self.is_obfuscated) else self
+        return batch._dc.export_ints(batch.mont)[: len(self)]
+
+    def to_encrypted_numbers(self, be_secure=True):
+        from phe_tpu.encrypted import EncryptedNumber
+
+        cts = self.ciphertext_ints(be_secure=be_secure)
+        return [
+            EncryptedNumber(self.public_key, c, int(e))
+            for c, e in zip(cts, self.exponents)
+        ]
+
+    def decrypt(self, private_key, Encoding=None):
+        """Decrypt and decode the whole batch."""
+        if private_key.public_key != self.public_key:
+            raise ValueError(
+                "encrypted batch was encrypted against a different key!"
+            )
+        if Encoding is None:
+            Encoding = EncodedNumber
+        pdc = private_key.device_context()
+        residues = pdc.raw_decrypt_batch(self.mont)
+        return [
+            Encoding(self.public_key, m, int(e)).decode()
+            for m, e in zip(residues, self.exponents)
+        ]
+
+    # -- homomorphic algebra ------------------------------------------------
+
+    def obfuscate(self, mode="exact"):
+        """Multiply every element by a fresh r^n (phe/paillier.py:603-624)."""
+        dc = self._dc
+        if mode == "exact":
+            mont = dc.obfuscate_mont(self.mont)
+        elif mode == "short":
+            mont = dc.obfuscate_mont_short(self.mont)
+        else:
+            raise ValueError("unknown obfuscation mode: %r" % (mode,))
+        return EncryptedBatch(self.public_key, mont, self.exponents, True)
+
+    def decrease_exponent_to(self, new_exps):
+        """Per-element exponent alignment: multiply by BASE**diff.
+
+        new_exps: scalar or [B] array of target exponents (each <= the
+        element's current exponent). The hidden modexp of the reference's
+        decrease_exponent_to (phe/paillier.py:570-601) becomes one batched
+        per-element-exponent Montgomery pow.
+        """
+        new_exps = np.broadcast_to(
+            np.asarray(new_exps, dtype=np.int64), self.exponents.shape
+        )
+        diffs = self.exponents - new_exps
+        if (diffs < 0).any():
+            raise ValueError("New exponent should be more negative")
+        if not diffs.any():
+            return self
+        factors = [EncodedNumber.BASE ** int(d) for d in diffs]
+        bits = max(f.bit_length() for f in factors)
+        mont = self._dc.pow_scalars(self.mont, factors, bits)
+        return EncryptedBatch(self.public_key, mont, new_exps, False)
+
+    def _aligned(self, other_exponents):
+        """Align self and an exponent vector to the per-element minimum."""
+        target = np.minimum(self.exponents, other_exponents)
+        return self.decrease_exponent_to(target), target
+
+    def __add__(self, other):
+        if isinstance(other, EncryptedBatch):
+            return self._add_encrypted(other)
+        return self.add_scalars(other)
+
+    def __radd__(self, other):
+        return self.__add__(other)
+
+    def __sub__(self, other):
+        if isinstance(other, EncryptedBatch):
+            return self + other.mul_scalars([-1] * len(other))
+        return self + [-v for v in _as_list(other, len(self))]
+
+    def __mul__(self, other):
+        return self.mul_scalars(other)
+
+    def __rmul__(self, other):
+        return self.mul_scalars(other)
+
+    def _add_encrypted(self, other):
+        """Elementwise E(a)+E(b): Montgomery multiply after alignment."""
+        if self.public_key != other.public_key:
+            raise ValueError(
+                "Attempted to add numbers encrypted against "
+                "different public keys!"
+            )
+        if len(self) != len(other):
+            raise ValueError("batch size mismatch")
+        a, target = self._aligned(other.exponents)
+        b = other.decrease_exponent_to(target)
+        mont = self._dc.mul_mont(a.mont, b.mont)
+        return EncryptedBatch(self.public_key, mont, target, False)
+
+    def add_scalars(self, scalars):
+        """Elementwise E(a) + b for plaintext scalars.
+
+        Encodes each scalar at max_exponent = the element's exponent
+        (phe/paillier.py:640-641), aligns, multiplies by the unblinded
+        encryption of the scalar (r=1, :673).
+        """
+        scalars = _as_list(scalars, len(self))
+        encodings = [
+            s if isinstance(s, EncodedNumber)
+            else EncodedNumber.encode(
+                self.public_key, s, max_exponent=int(e)
+            )
+            for s, e in zip(scalars, self.exponents)
+        ]
+        b_exps = np.array([e.exponent for e in encodings], dtype=np.int64)
+        a, target = self._aligned(b_exps)
+        aligned_encodings = [
+            e if e.exponent == t else e.decrease_exponent_to(int(t))
+            for e, t in zip(encodings, target)
+        ]
+        dc = self._dc
+        mont = _add_encoded_dev(
+            a.mont,
+            dc.pack_messages(
+                [e.encoding for e in aligned_encodings],
+                pad_rows=a.mont.shape[0],
+            ),
+            dc.n_limbs,
+            dc.ctx,
+        )
+        return EncryptedBatch(self.public_key, mont, target, False)
+
+    def mul_scalars(self, scalars):
+        """Elementwise E(a) * b: per-element-exponent modexp.
+
+        Uses the raw encoding residue as the exponent directly: for
+        scalars in the negative window this is plaintext-equivalent to the
+        reference's inverse trick (the ciphertexts differ by an n-th-power
+        factor, which decryption annihilates) at the cost of a full-width
+        exponent. Positive mantissas reproduce the reference bit-for-bit.
+        """
+        scalars = _as_list(scalars, len(self))
+        encodings = [
+            s if isinstance(s, EncodedNumber)
+            else EncodedNumber.encode(self.public_key, s)
+            for s in scalars
+        ]
+        exps = [e.encoding for e in encodings]
+        bits = max(max(e.bit_length() for e in exps), 1)
+        mont = self._dc.pow_scalars(self.mont, exps, bits)
+        exponents = self.exponents + np.array(
+            [e.exponent for e in encodings], dtype=np.int64
+        )
+        return EncryptedBatch(self.public_key, mont, exponents, False)
+
+    def sum(self):
+        """Homomorphic sum of the batch: log-tree of Montgomery multiplies.
+
+        The combine op is modular multiplication mod n^2 — the encrypted
+        aggregation primitive of the FL example
+        (examples/federated_learning_with_encryption.py:122-133).
+        """
+        target = int(self.exponents.min())
+        a = self.decrease_exponent_to(target)
+        mont = _tree_reduce_dev(a.mont, self._dc.ctx)
+        return EncryptedBatch(
+            self.public_key, mont, np.array([target]), False
+        )
+
+    def dot(self, plain_vector):
+        """Encrypted dot product: mul_scalars then tree-sum.
+
+        The encrypted-LR scoring primitive
+        (examples/logistic_regression_encrypted_model.py:170-177).
+        """
+        return self.mul_scalars(plain_vector).sum()
+
+    def matvec(self, matrix):
+        """scores = matrix @ self for plaintext [B, D] against D weights.
+
+        The batched encrypted-inference primitive: one [B, D] grid of
+        per-element-exponent Montgomery pows (ciphertext^x_ji), one grid
+        exponent-alignment pow, and a log-depth modmul tree over D — versus
+        the reference's B*D sequential powmod calls
+        (examples/logistic_regression_encrypted_model.py:170-177).
+        Returns an EncryptedBatch of B encrypted dot products.
+        """
+        matrix = np.asarray(matrix)
+        if matrix.ndim != 2 or matrix.shape[1] != len(self):
+            raise ValueError(
+                "expected [B, %d] matrix, got %r" % (len(self), matrix.shape)
+            )
+        B, D = matrix.shape
+        dc = self._dc
+        w_mont = self.mont[:D]  # trim bucket padding: the grid is logical-D
+        encodings = [
+            [EncodedNumber.encode(self.public_key, v)
+             for v in (float(x) if isinstance(x, np.floating) else
+                       int(x) if isinstance(x, np.integer) else x
+                       for x in row)]
+            for row in matrix.tolist()
+        ]
+        # ciphertext^x_ji digit schedules over the [B, D] grid.
+        exps = [e.encoding for row in encodings for e in row]
+        bits = max(max(e.bit_length() for e in exps), 1)
+        digits = jnp.asarray(_digits_rows(exps, bits)).reshape(B, D, -1)
+        # Product exponents e_w[i] + e_x[j,i]; align each row to its min.
+        exp_grid = self.exponents[None, :] + np.array(
+            [[e.exponent for e in row] for row in encodings], dtype=np.int64
+        )
+        row_min = exp_grid.min(axis=1)
+        diffs = exp_grid - row_min[:, None]
+        factors = [
+            EncodedNumber.BASE ** int(d) for d in diffs.reshape(-1)
+        ]
+        fbits = max(f.bit_length() for f in factors)
+        fdigits = jnp.asarray(_digits_rows(factors, fbits)).reshape(B, D, -1)
+        mont = _matvec_dev(w_mont, digits, fdigits, dc.ctx)
+        return EncryptedBatch(self.public_key, mont, row_min, False)
+
+
+def _as_list(value, length):
+    if np.isscalar(value):
+        return [value] * length
+    value = list(value)
+    if len(value) != length:
+        raise ValueError("scalar operand length mismatch")
+    return value

@@ -1,0 +1,195 @@
+"""pheutil-compatible command line for the TPU Paillier framework.
+
+Same command surface and wire formats as the reference CLI
+(phe/command_line.py:16-280): genpkey / extract / encrypt / decrypt /
+add / addenc / multiply with JWK-style JSON keys and {"v","e"} ciphertexts
+(exponent pinned to -32). Adds batch-first commands that exercise the TPU
+engine: encryptvec / decryptvec / sumvec operate on whole JSON vectors of
+numbers at once.
+
+Entry point: ``python -m phe_tpu.cli`` or the ``pheutil`` console script.
+"""
+
+import json
+
+import click
+
+import phe_tpu
+from phe_tpu import serial
+from phe_tpu.__about__ import __version__
+
+
+def log(m, color="red"):
+    click.echo(click.style(m, fg=color), err=True)
+
+
+@click.group("pheutil")
+@click.version_option(__version__, prog_name="pheutil")
+@click.option("--verbose", "-v", is_flag=True, help="Enables verbose mode.")
+def cli(verbose=False):
+    """CLI for interacting with phe_tpu (python-paillier compatible)."""
+
+
+@cli.command("genpkey")
+@click.argument("output", type=click.File("w"))
+@click.option("--keysize", type=int, default=2048,
+              help="The keysize in bits. Defaults to 2048")
+@click.option("--id", type=str, default=None,
+              help="Add an identifying comment to the key")
+def generate_keypair(keysize, id, output):
+    """Generate a paillier private key, output as JWK ("-" for stdout)."""
+    log("Generating a paillier keypair with keysize of {}".format(keysize))
+    pub, priv = phe_tpu.generate_paillier_keypair(n_length=keysize)
+    log("Keys generated")
+    json.dump(serial.private_key_to_jwk(priv), output)
+    output.write("\n")
+    log("Private key written to {}".format(output.name))
+
+
+@cli.command()
+@click.argument("input", type=click.File("r"))
+@click.argument("output", type=click.File("w"))
+def extract(input, output):
+    """Extract the public key portion of a private key file."""
+    log("Loading paillier keypair")
+    priv = json.load(input)
+    error_msg = "Invalid private key"
+    assert "pub" in priv, error_msg
+    assert priv["kty"] == "DAJ", error_msg
+    json.dump(priv["pub"], output)
+    output.write("\n")
+    log("Public key written to {}".format(output.name))
+
+
+@cli.command()
+@click.argument("public", type=click.File("r"))
+@click.argument("plaintext", type=str)
+@click.option("--output", type=click.File("w"),
+              help="Save to file instead of stdout")
+def encrypt(public, plaintext, output=None):
+    """Encrypt a number (interpreted as a float) with a public key.
+
+    Negative numbers need a "--" separator before them.
+    """
+    num = float(plaintext)
+    log("Loading public key")
+    pub = serial.public_key_from_jwk(json.load(public))
+    log("Encrypting: {:+.16f}".format(num))
+    enc = pub.encrypt(num)
+    print(json.dumps(serial.dump_encrypted_number(enc)), file=output)
+
+
+@cli.command()
+@click.argument("private", type=click.File("r"))
+@click.argument("ciphertext", type=click.File("r"))
+@click.option("--output", type=click.File("w"),
+              help="Save to file instead of stdout")
+def decrypt(private, ciphertext, output):
+    """Decrypt a ciphertext file with a private key file."""
+    log("Loading private key")
+    priv = serial.private_key_from_jwk(json.load(private))
+    log("Decrypting ciphertext")
+    enc = serial.load_encrypted_number(
+        json.load(ciphertext), priv.public_key
+    )
+    print(priv.decrypt(enc), file=output)
+
+
+@cli.command("addenc")
+@click.argument("public", type=click.File("r"))
+@click.argument("encrypted_a", type=click.File("r"))
+@click.argument("encrypted_b", type=click.File("r"))
+@click.option("--output", type=click.File("w"),
+              help="Save to file instead of stdout")
+def add_encrypted(public, encrypted_a, encrypted_b, output):
+    """Add two encrypted numbers together."""
+    log("Loading public key")
+    pub = serial.public_key_from_jwk(json.load(public))
+    enc_a = serial.load_encrypted_number(json.load(encrypted_a), pub)
+    enc_b = serial.load_encrypted_number(json.load(encrypted_b), pub)
+    log("Adding encrypted numbers together")
+    print(json.dumps(serial.dump_encrypted_number(enc_a + enc_b)), file=output)
+
+
+@cli.command("add")
+@click.argument("public", type=click.File("r"))
+@click.argument("encrypted", type=click.File("r"))
+@click.argument("plaintext", type=str)
+@click.option("--output", type=click.File("w"),
+              help="Save to file instead of stdout")
+def add_plain(public, encrypted, plaintext, output):
+    """Add a plaintext number to an encrypted number."""
+    log("Loading public key")
+    pub = serial.public_key_from_jwk(json.load(public))
+    enc = serial.load_encrypted_number(json.load(encrypted), pub)
+    num = float(plaintext)
+    log("Adding")
+    print(json.dumps(serial.dump_encrypted_number(enc + num)), file=output)
+
+
+@cli.command("multiply")
+@click.argument("public", type=click.File("r"))
+@click.argument("encrypted", type=click.File("r"))
+@click.argument("plaintext", type=str)
+@click.option("--output", type=click.File("w"),
+              help="Save to file instead of stdout")
+def multiply_plain(public, encrypted, plaintext, output):
+    """Multiply an encrypted number by a plaintext number."""
+    log("Loading public key")
+    pub = serial.public_key_from_jwk(json.load(public))
+    enc = serial.load_encrypted_number(json.load(encrypted), pub)
+    num = float(plaintext)
+    log("Multiplying")
+    print(json.dumps(serial.dump_encrypted_number(enc * num)), file=output)
+
+
+# -- batch-first extensions (TPU engine) ------------------------------------
+
+
+@cli.command("encryptvec")
+@click.argument("public", type=click.File("r"))
+@click.argument("values", type=click.File("r"))
+@click.option("--output", type=click.File("w"),
+              help="Save to file instead of stdout")
+def encrypt_vector(public, values, output):
+    """Encrypt a JSON array of numbers as one device batch."""
+    from phe_tpu.batch import EncryptedBatch
+
+    pub = serial.public_key_from_jwk(json.load(public))
+    nums = [float(v) for v in json.load(values)]
+    log("Encrypting a batch of {} values".format(len(nums)))
+    batch = EncryptedBatch.encrypt(pub, nums)
+    print(json.dumps(serial.dump_encrypted_batch(batch)), file=output)
+
+
+@cli.command("decryptvec")
+@click.argument("private", type=click.File("r"))
+@click.argument("ciphertexts", type=click.File("r"))
+@click.option("--output", type=click.File("w"),
+              help="Save to file instead of stdout")
+def decrypt_vector(private, ciphertexts, output):
+    """Decrypt a serialised encrypted vector as one device batch."""
+    priv = serial.private_key_from_jwk(json.load(private))
+    batch = serial.load_encrypted_batch(
+        json.load(ciphertexts), priv.public_key
+    )
+    log("Decrypting a batch of {} values".format(len(batch)))
+    print(json.dumps(batch.decrypt(priv)), file=output)
+
+
+@cli.command("sumvec")
+@click.argument("public", type=click.File("r"))
+@click.argument("ciphertexts", type=click.File("r"))
+@click.option("--output", type=click.File("w"),
+              help="Save to file instead of stdout")
+def sum_vector(public, ciphertexts, output):
+    """Homomorphically sum a serialised encrypted vector on device."""
+    pub = serial.public_key_from_jwk(json.load(public))
+    batch = serial.load_encrypted_batch(json.load(ciphertexts), pub)
+    log("Summing a batch of {} values".format(len(batch)))
+    total = batch.sum().to_encrypted_numbers(be_secure=False)[0]
+    print(json.dumps(serial.dump_encrypted_number(total)), file=output)
+
+
+if __name__ == "__main__":
+    cli()

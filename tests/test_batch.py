@@ -1,0 +1,257 @@
+"""EncryptedBatch: the TPU batch engine vs the scalar API and reference semantics.
+
+Covers the behavioural contract of SURVEY.md §7 as it applies to batched
+operation: bit-exact raw encryption with pinned r (phe/tests/paillier_test.py
+:128-142 vectors), homomorphic algebra, exponent alignment, the lazy
+obfuscation state machine, and interop with the scalar EncryptedNumber API.
+"""
+
+import numpy as np
+import pytest
+
+import phe_tpu
+from phe_tpu.batch import EncryptedBatch
+from phe_tpu.encoding import EncodedNumber
+
+
+@pytest.fixture(scope="module")
+def keypair():
+    return phe_tpu.generate_paillier_keypair(n_length=256)
+
+
+VALUES = [0, 1, -1, 3.14159, -2.5e-3, 1 << 60, -(1 << 40), 0.0, 17, -9999.25]
+
+
+class TestEncryptDecrypt:
+    def test_roundtrip(self, keypair):
+        pub, priv = keypair
+        batch = EncryptedBatch.encrypt(pub, VALUES)
+        out = batch.decrypt(priv)
+        assert out == VALUES
+
+    def test_roundtrip_unobfuscated(self, keypair):
+        pub, priv = keypair
+        batch = EncryptedBatch.encrypt(pub, VALUES, obfuscation="none")
+        assert not batch.is_obfuscated
+        assert batch.decrypt(priv) == VALUES
+
+    def test_roundtrip_short_obfuscation(self, keypair):
+        pub, priv = keypair
+        batch = EncryptedBatch.encrypt(pub, VALUES, obfuscation="short")
+        assert batch.is_obfuscated
+        assert batch.decrypt(priv) == VALUES
+
+    def test_bit_exact_vs_scalar_raw_encrypt(self, keypair):
+        pub, _ = keypair
+        rs = [3, 7, 12345, pub.n - 2]
+        ms = [1, 2, 10100, pub.n - 1]
+        batch = EncryptedBatch.encrypt(
+            pub,
+            [EncodedNumber(pub, m, 0) for m in ms],
+            r_values=rs,
+        )
+        got = batch.ciphertext_ints(be_secure=False)
+        want = [pub.raw_encrypt(m, r_value=r) for m, r in zip(ms, rs)]
+        assert got == want
+
+    def test_reference_regression_vector(self):
+        # phe/tests/paillier_test.py:128-142: n=126869, m=10100, r=74384.
+        pub = phe_tpu.PaillierPublicKey(126869)
+        batch = EncryptedBatch.encrypt(
+            pub, [EncodedNumber(pub, 10100, 0)], r_values=[74384]
+        )
+        assert batch.ciphertext_ints(be_secure=False) == [935906717]
+
+    def test_semantic_security(self, keypair):
+        pub, _ = keypair
+        a = EncryptedBatch.encrypt(pub, [42.0])
+        b = EncryptedBatch.encrypt(pub, [42.0])
+        assert a.ciphertext_ints(False) != b.ciphertext_ints(False)
+
+    def test_wrong_key_decrypt_raises(self, keypair):
+        pub, _ = keypair
+        other_pub, other_priv = phe_tpu.generate_paillier_keypair(n_length=256)
+        batch = EncryptedBatch.encrypt(pub, [1.0])
+        with pytest.raises(ValueError):
+            batch.decrypt(other_priv)
+
+
+class TestAlgebra:
+    def test_add_encrypted(self, keypair):
+        pub, priv = keypair
+        a_vals = [1.5, -2.0, 300.0, 1e-5, 7]
+        b_vals = [2.25, 2.0, -0.5, 1e5, -3]
+        a = EncryptedBatch.encrypt(pub, a_vals)
+        b = EncryptedBatch.encrypt(pub, b_vals)
+        out = (a + b).decrypt(priv)
+        np.testing.assert_allclose(
+            out, [x + y for x, y in zip(a_vals, b_vals)], rtol=1e-12
+        )
+
+    def test_add_scalars(self, keypair):
+        pub, priv = keypair
+        a_vals = [1.5, -2.0, 300.0, 0.0]
+        s_vals = [4, -0.5, 1e-3, 12.125]
+        a = EncryptedBatch.encrypt(pub, a_vals)
+        out = (a + s_vals).decrypt(priv)
+        np.testing.assert_allclose(
+            out, [x + y for x, y in zip(a_vals, s_vals)], rtol=1e-12
+        )
+
+    def test_add_broadcast_scalar(self, keypair):
+        pub, priv = keypair
+        a = EncryptedBatch.encrypt(pub, [1.0, 2.0, 3.0])
+        out = (a + 10).decrypt(priv)
+        assert out == [11.0, 12.0, 13.0]
+
+    def test_radd(self, keypair):
+        pub, priv = keypair
+        a = EncryptedBatch.encrypt(pub, [1.0, 2.0])
+        out = ([5, 6] + a).decrypt(priv)
+        assert out == [6.0, 8.0]
+
+    def test_sub(self, keypair):
+        pub, priv = keypair
+        a = EncryptedBatch.encrypt(pub, [10.0, 5.5])
+        b = EncryptedBatch.encrypt(pub, [4.0, 0.5])
+        assert (a - b).decrypt(priv) == [6.0, 5.0]
+        assert (a - [1, 1]).decrypt(priv) == [9.0, 4.5]
+
+    def test_mul_scalars(self, keypair):
+        pub, priv = keypair
+        a_vals = [1.5, -2.0, 300.0, 1e-4]
+        s_vals = [2, -3.5, 0.25, 10000]
+        a = EncryptedBatch.encrypt(pub, a_vals)
+        out = a.mul_scalars(s_vals).decrypt(priv)
+        np.testing.assert_allclose(
+            out, [x * y for x, y in zip(a_vals, s_vals)], rtol=1e-12
+        )
+
+    def test_mul_operator_and_rmul(self, keypair):
+        pub, priv = keypair
+        a = EncryptedBatch.encrypt(pub, [3.0, -4.0])
+        assert (a * 2).decrypt(priv) == [6.0, -8.0]
+        assert (2 * a).decrypt(priv) == [6.0, -8.0]
+
+    def test_mixed_exponent_alignment(self, keypair):
+        pub, priv = keypair
+        # ints encode at exponent 0, floats at negative exponents: the add
+        # must align per element (phe/paillier.py:664-669).
+        a = EncryptedBatch.encrypt(pub, [1, 2.5, 3])
+        b = EncryptedBatch.encrypt(pub, [0.25, 4, -1.125])
+        out = (a + b).decrypt(priv)
+        assert out == [1.25, 6.5, 1.875]
+
+    def test_add_different_keys_raises(self, keypair):
+        pub, _ = keypair
+        pub2, _ = phe_tpu.generate_paillier_keypair(n_length=256)
+        a = EncryptedBatch.encrypt(pub, [1.0])
+        b = EncryptedBatch.encrypt(pub2, [1.0])
+        with pytest.raises(ValueError):
+            a + b
+
+    def test_sum(self, keypair):
+        pub, priv = keypair
+        vals = [1.5, 2.25, -0.75, 4.0, 10.0, -3.5, 0.125]
+        batch = EncryptedBatch.encrypt(pub, vals)
+        total = batch.sum()
+        assert len(total) == 1
+        np.testing.assert_allclose(total.decrypt(priv), [sum(vals)], rtol=1e-12)
+
+    def test_dot(self, keypair):
+        pub, priv = keypair
+        x = [1.5, -2.0, 3.25, 0.5]
+        w = [0.1, 0.2, -0.3, 4.0]
+        enc = EncryptedBatch.encrypt(pub, x)
+        out = enc.dot(w).decrypt(priv)
+        np.testing.assert_allclose(out, [float(np.dot(x, w))], rtol=1e-12)
+
+    def test_decrease_exponent_to(self, keypair):
+        pub, priv = keypair
+        batch = EncryptedBatch.encrypt(pub, [3.14, 2])
+        lowered = batch.decrease_exponent_to(-20)
+        assert (lowered.exponents == -20).all()
+        np.testing.assert_allclose(lowered.decrypt(priv), [3.14, 2], rtol=1e-12)
+
+    def test_decrease_exponent_rejects_increase(self, keypair):
+        pub, _ = keypair
+        batch = EncryptedBatch.encrypt(pub, [3.14])
+        with pytest.raises(ValueError):
+            batch.decrease_exponent_to(batch.exponents + 1)
+
+
+class TestObfuscationStateMachine:
+    def test_fresh_encrypt_obfuscated(self, keypair):
+        pub, _ = keypair
+        assert EncryptedBatch.encrypt(pub, [1.0]).is_obfuscated
+
+    def test_add_result_not_obfuscated(self, keypair):
+        pub, _ = keypair
+        a = EncryptedBatch.encrypt(pub, [1.0])
+        b = EncryptedBatch.encrypt(pub, [2.0])
+        assert not (a + b).is_obfuscated
+        assert not (a * 2).is_obfuscated
+
+    def test_secure_export_obfuscates(self, keypair):
+        pub, priv = keypair
+        a = EncryptedBatch.encrypt(pub, [1.0], obfuscation="none")
+        insecure = a.ciphertext_ints(be_secure=False)
+        secure = a.ciphertext_ints(be_secure=True)
+        assert insecure != secure
+
+    def test_obfuscate_preserves_plaintext(self, keypair):
+        pub, priv = keypair
+        a = EncryptedBatch.encrypt(pub, VALUES)
+        b = a.obfuscate()
+        assert b.is_obfuscated
+        assert a.ciphertext_ints(False) != b.ciphertext_ints(False)
+        assert b.decrypt(priv) == VALUES
+
+
+class TestScalarInterop:
+    def test_to_encrypted_numbers(self, keypair):
+        pub, priv = keypair
+        batch = EncryptedBatch.encrypt(pub, VALUES)
+        numbers = batch.to_encrypted_numbers(be_secure=False)
+        assert [priv.decrypt(e) for e in numbers] == VALUES
+
+    def test_from_encrypted_numbers(self, keypair):
+        pub, priv = keypair
+        numbers = [pub.encrypt(v) for v in VALUES]
+        batch = EncryptedBatch.from_encrypted_numbers(numbers)
+        assert batch.decrypt(priv) == VALUES
+
+    def test_mixed_pipeline(self, keypair):
+        # Scalar-encrypted inputs, batched compute, scalar decrypt.
+        pub, priv = keypair
+        numbers = [pub.encrypt(v) for v in [1.0, 2.0, 3.0]]
+        batch = EncryptedBatch.from_encrypted_numbers(numbers)
+        result = (batch * 2 + [1, 1, 1]).to_encrypted_numbers()
+        assert [priv.decrypt(e) for e in result] == [3.0, 5.0, 7.0]
+
+    def test_import_raw_ciphertexts(self, keypair):
+        pub, priv = keypair
+        scalar = pub.encrypt(123.456)
+        batch = EncryptedBatch.from_ciphertext_ints(
+            pub, [scalar.ciphertext(False)], [scalar.exponent]
+        )
+        assert batch.decrypt(priv) == [123.456]
+
+
+class TestAltBase:
+    def test_base64_encoding_class(self, keypair):
+        # examples/alternative_base.py: BASE=64 subclass flows through the
+        # batched decrypt's Encoding hook.
+        pub, priv = keypair
+
+        class Base64Number(EncodedNumber):
+            BASE = 64
+            import math as _math
+
+            LOG2_BASE = _math.log(BASE, 2)
+
+        vals = [2.5, -17.0, 0.078125]
+        encodings = [Base64Number.encode(pub, v) for v in vals]
+        batch = EncryptedBatch.encrypt(pub, encodings)
+        out = batch.decrypt(priv, Encoding=Base64Number)
+        assert out == vals
