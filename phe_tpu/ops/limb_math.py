@@ -69,36 +69,46 @@ def add(a, b):
     return carry_fix(a + b)
 
 
+def diag_sum(m):
+    """Anti-diagonal sums: [..., R, C] -> [..., R+C-1], out[k] = sum_i m[i, k-i].
+
+    The polynomial-product gather, done with a static shear-reshape instead
+    of per-diagonal slicing: pad each row with R zeros, flatten the last two
+    axes, drop the final R elements and reshape to [R, C+R-1] — row i lands
+    shifted right by i, so a plain sum over rows realigns every product
+    m[i, j] onto output slot i+j. Pure static reshapes: no loops, no
+    dynamic slices, compiles to straight-line VPU code.
+    """
+    batch = m.shape[:-2]
+    R, C = m.shape[-2], m.shape[-1]
+    if R == 1:
+        return m[..., 0, :]
+    p = jnp.pad(m, [(0, 0)] * len(batch) + [(0, 0), (0, R)])
+    f = p.reshape(batch + (R * (C + R),))[..., : R * (C + R - 1)]
+    return f.reshape(batch + (R, C + R - 1)).sum(axis=-2)
+
+
 def mul_full(a, b):
     """Full schoolbook product: [..., La] x [..., Lb] -> [..., La+Lb].
 
     Batched independent big-int multiply: each leading-dim element
-    multiplies its own (a, b) pair. Iterates over the limbs of ``a``,
-    broadcasting one scalar limb per element against all of ``b`` — the
-    row-wise schoolbook form that vectorises on the VPU with no gathers.
-    Partial products are split into 15-bit halves and accumulated
-    carry-free in uint32.
+    multiplies its own (a, b) pair. One broadcast outer product gives every
+    partial product at once (operand limbs <= 2**15 keep products < 2**30
+    in uint32); the 15-bit halves are summed along anti-diagonals with the
+    static shear of :func:`diag_sum`. Output slots receive at most
+    2*min(La, Lb) halves of <= 2**15 each, staying under 2**31 for the one
+    carry_fix at the end.
 
     Requires value(a) * value(b) < 2**(15 * (La + Lb)) (all callers keep
     values far below limb-array capacity).
     """
-    La = a.shape[-1]
-    Lb = b.shape[-1]
-    batch = a.shape[:-1]
-    nbatch = len(batch)
-    acc = jnp.zeros(batch + (La + Lb,), dtype=jnp.uint32)
-
-    def body(i, acc):
-        ai = jax.lax.dynamic_slice_in_dim(a, i, 1, axis=-1)  # [..., 1]
-        p = ai * b  # [..., Lb], <= 2**30
-        lo = jnp.pad(p & LIMB_MASK, [(0, 0)] * nbatch + [(0, 1)])
-        hi = jnp.pad(p >> LIMB_BITS, [(0, 0)] * nbatch + [(1, 0)])
-        seg = jax.lax.dynamic_slice_in_dim(acc, i, Lb + 1, axis=-1)
-        return jax.lax.dynamic_update_slice_in_dim(
-            acc, seg + lo + hi, i, axis=-1
-        )
-
-    acc = jax.lax.fori_loop(0, La, body, acc, unroll=False)
+    nbatch = max(a.ndim, b.ndim) - 1
+    outer = a[..., :, None] * b[..., None, :]  # [..., La, Lb]
+    lo = diag_sum(outer & LIMB_MASK)  # contributes at slot i+j
+    hi = diag_sum(outer >> LIMB_BITS)  # contributes at slot i+j+1
+    acc = jnp.pad(lo, [(0, 0)] * nbatch + [(0, 1)]) + jnp.pad(
+        hi, [(0, 0)] * nbatch + [(1, 0)]
+    )
     return carry_fix(acc)
 
 

@@ -250,20 +250,26 @@ def mod_reduce(x, ctx, table):
 
     def fold(v):
         low = v[..., :L]
-        high = v[..., L:]
-        K = high.shape[-1]
+        high = v[..., L:]  # [..., K] limbs <= 2**16 (redundant headroom)
         nbatch = v.ndim - 1
         acc = jnp.pad(low, [(0, 0)] * nbatch + [(0, 1)])  # [..., L+1]
-
-        def body(j, acc):
-            hj = jax.lax.dynamic_slice_in_dim(high, j, 1, axis=-1)  # [..., 1]
-            row = jax.lax.dynamic_index_in_dim(table.powers, j, 0, False)
-            p = hj * row  # [..., L] products <= 2**30
-            lo = jnp.pad(p & lm.LIMB_MASK, [(0, 0)] * nbatch + [(0, 1)])
-            hi = jnp.pad(p >> lm.LIMB_BITS, [(0, 0)] * nbatch + [(1, 0)])
-            return acc + lo + hi
-
-        acc = jax.lax.fori_loop(0, K, body, acc)
+        # sum_j high_j * powers[j] as three static uint32 contractions —
+        # high split into 6-bit parts so each product is < 2**21 and a
+        # K-term sum stays < 2**31 for K < 1024 (no loops, no dynamic
+        # slices: the fold is a plain [K] x [K, L] integer matmul).
+        dot = lambda h: jnp.einsum(
+            "...k,kl->...l", h, table.powers,
+            preferred_element_type=jnp.uint32,
+        )
+        pad_lo = [(0, 0)] * nbatch + [(0, 1)]
+        pad_hi = [(0, 0)] * nbatch + [(1, 0)]
+        for w in (0, 6, 12):
+            part = (high >> w) & 0x3F if w < 12 else high >> 12
+            s = dot(part)  # [..., L], < 2**30
+            # value(s) * 2**w folded into 15-bit slots; every addend is
+            # < 2**27, keeping accumulator slots < 2**31 for carry_fix.
+            acc = acc + jnp.pad((s & lm.LIMB_MASK) << w, pad_lo)
+            acc = acc + jnp.pad((s >> lm.LIMB_BITS) << w, pad_hi)
         return lm.carry_fix(acc)  # [..., L+1]
 
     y = fold(x)  # value <= beta^L(1+eps) + K*2**15*M <= 2**8 * R
