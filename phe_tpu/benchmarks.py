@@ -1,0 +1,111 @@
+"""Per-op benchmark suite for the TPU Paillier engine.
+
+Mirrors the reference's methodology (examples/benchmarks.py:38-92: timed
+batches of encrypt / decrypt / add(enc,enc) / add(enc,scalar) / add(enc,1) /
+mul(enc,scalar) across key sizes) with batch-first device execution: each op
+is one fused jitted program over a [B, L] ciphertext tensor, timed after a
+warmup run that triggers (persistent-cached) compilation.
+
+Run:  python -m phe_tpu.benchmarks [--key-sizes 1024,2048] [--batch 512]
+Emits one JSON object per (op, keysize) line, plus a summary table to stderr.
+
+Baselines (BASELINE.md, measured single-core CPython in this environment):
+encrypt 55.5/9.2 ops/s, decrypt 179/32.7, add enc+enc 39.6k/22.2k,
+mul enc*scalar 386/297 at 1024/2048 bits.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+CPYTHON_BASELINE = {
+    # op -> {keysize: single-core ops/s} (BASELINE.md measured table)
+    "encrypt": {1024: 55.5, 2048: 9.2},
+    "decrypt": {1024: 179.0, 2048: 32.7},
+    "add_enc_enc": {1024: 39614.0, 2048: 22218.0},
+    "mul_enc_scalar": {1024: 386.0, 2048: 297.0},
+}
+
+
+def _time_op(fn, runs=3):
+    """Median-of-runs wall time for fn() (fn must block on device work)."""
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def bench_key_size(keysize, batch, runs=3, emit=print):
+    import phe_tpu
+    from phe_tpu.batch import EncryptedBatch
+
+    rng = np.random.default_rng(20260817 + keysize)
+    vals = [float(v) for v in rng.uniform(-1e6, 1e6, batch)]
+    scalars = [float(v) for v in rng.uniform(-100, 100, batch)]
+
+    t0 = time.perf_counter()
+    pub, priv = phe_tpu.generate_paillier_keypair(n_length=keysize)
+    keygen_s = time.perf_counter() - t0
+
+    results = {"keygen": {"value": round(1.0 / keygen_s, 3), "unit": "keypairs/s"}}
+
+    def run(op, fn, unit="ops/s", per=batch):
+        fn()  # warmup: compile + constant setup
+        dt = _time_op(fn, runs)
+        ops = per / dt
+        base = CPYTHON_BASELINE.get(op, {}).get(keysize)
+        results[op] = {
+            "value": round(ops, 2),
+            "unit": unit,
+            "vs_baseline": round(ops / base, 2) if base else None,
+        }
+
+    enc = EncryptedBatch.encrypt(pub, vals)
+    enc2 = EncryptedBatch.encrypt(pub, scalars)
+
+    run("encrypt", lambda: EncryptedBatch.encrypt(pub, vals).mont
+        .block_until_ready())
+    run("decrypt", lambda: enc.decrypt(priv))
+    run("add_enc_enc", lambda: (enc + enc2).mont.block_until_ready())
+    run("add_enc_scalar", lambda: (enc + scalars).mont.block_until_ready())
+    run("add_enc_one", lambda: (enc + [1.0] * batch).mont.block_until_ready())
+    run("mul_enc_scalar", lambda: (enc * scalars).mont.block_until_ready())
+    run("sum_batch", lambda: enc.sum().mont.block_until_ready(),
+        unit="elements/s")
+
+    for op, r in results.items():
+        emit(json.dumps({"metric": op, "keysize": keysize, "batch": batch,
+                         **r}))
+    return results
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--key-sizes", default="1024,2048",
+                    help="comma-separated bit lengths")
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--runs", type=int, default=3)
+    args = ap.parse_args(argv)
+
+    all_results = {}
+    for ks in [int(s) for s in args.key_sizes.split(",")]:
+        all_results[ks] = bench_key_size(ks, args.batch, args.runs)
+
+    print("\n== summary (ops/s, vs single-core CPython baseline) ==",
+          file=sys.stderr)
+    for ks, res in all_results.items():
+        for op, r in res.items():
+            vs = r.get("vs_baseline")
+            print("  %5d-bit %-16s %12.1f %s%s" % (
+                ks, op, r["value"], r["unit"],
+                "  (%.0fx baseline)" % vs if vs else ""), file=sys.stderr)
+    return all_results
+
+
+if __name__ == "__main__":
+    main()

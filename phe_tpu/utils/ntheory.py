@@ -18,7 +18,20 @@ import math
 import random
 import secrets
 
+try:  # import-time backend detection, as the reference does for gmpy2
+    from phe_tpu import native as _native
+
+    HAVE_NATIVE = _native.HAVE_NATIVE
+except Exception:  # pragma: no cover - environment-dependent
+    _native = None
+    HAVE_NATIVE = False
+
+# Below this modulus size CPython's pow wins (call overhead dominates);
+# mirrors the reference's _USE_MOD_FROM_GMP_SIZE threshold (phe/util.py:33).
+_USE_NATIVE_FROM_BITS = 512
+
 __all__ = [
+    "HAVE_NATIVE",
     "powmod",
     "mulmod",
     "invert",
@@ -51,9 +64,21 @@ _first_primes_set = frozenset(first_primes)
 
 
 def powmod(a, b, c):
-    """a**b mod c on host ints (reference: phe/util.py:38-50)."""
+    """a**b mod c on host ints (reference: phe/util.py:38-50).
+
+    Dispatches to the C++ Montgomery engine (phe_tpu/native) for large odd
+    moduli — the role gmpy2.powmod plays for the reference — and to
+    CPython's pow otherwise.
+    """
     if a == 1:
         return 1
+    if (
+        HAVE_NATIVE
+        and b >= 0
+        and (c & 1)
+        and _USE_NATIVE_FROM_BITS <= c.bit_length() <= _native.MAX_MODULUS_BITS
+    ):
+        return _native.powmod(a, b, c)
     return pow(a, b, c)
 
 
@@ -102,14 +127,20 @@ def miller_rabin(n, k):
     proven composites. Requires n > 3.
     """
     assert n > 3
+    witnesses = [random.randint(2, n - 2) for _ in range(k)]
+    if (
+        HAVE_NATIVE
+        and _USE_NATIVE_FROM_BITS <= n.bit_length() <= _native.MAX_MODULUS_BITS
+    ):
+        return _native.miller_rabin_native(n, witnesses)
+
     d = n - 1
     r = 0
     while d & 1 == 0:
         d >>= 1
         r += 1
 
-    for _ in range(k):
-        a = random.randint(2, n - 2)
+    for a in witnesses:
         x = pow(a, d, n)
         if x == 1 or x == n - 1:
             continue
