@@ -29,15 +29,22 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     vals = [float(v) for v in rng.uniform(-1e6, 1e6, B)]
 
+    import jax
+
+    def sync(batch):
+        # Hard synchronization: materialise one device row on host.
+        # (block_until_ready alone does not reliably fence execution over
+        # the tunnelled TPU transport.)
+        np.asarray(jax.device_get(batch.mont[0]))
+
     # Warmup: trigger compilation + device-constant setup.
-    warm = EncryptedBatch.encrypt(pub, vals[:B])
-    warm.mont.block_until_ready()
+    sync(EncryptedBatch.encrypt(pub, vals[:B]))
 
     runs = 3
     t0 = time.perf_counter()
     for _ in range(runs):
         batch = EncryptedBatch.encrypt(pub, vals)
-        batch.mont.block_until_ready()
+        sync(batch)
     dt = time.perf_counter() - t0
 
     ops_per_s = runs * B / dt

@@ -36,6 +36,7 @@ the logical batch length is ``len(exponents)``.
 """
 
 import secrets
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -196,6 +197,128 @@ def _crt_powers_dev(ct_mont, pub_ctx, ctx_p, red_p, dp_digits, ctx_q, red_q,
     return tuple(outs)
 
 
+@jax.jit
+def _add_encrypted_aligned_dev(a_mont, da, b_mont, db, ctx):
+    """Fused E(a)+E(b) with per-element exponent alignment.
+
+    da/db are BASE**diff digit schedules; the alignment modexps
+    (phe/paillier.py:664-669's decrease_exponent_to) and the ciphertext
+    product run as one program — one dispatch, one compile."""
+    a2 = mg.mont_pow(a_mont, da, ctx)
+    b2 = mg.mont_pow(b_mont, db, ctx)
+    return mg.mont_mul(a2, b2, ctx)
+
+
+@jax.jit
+def _add_scalars_aligned_dev(a_mont, da, m, n_limbs, ctx):
+    """Fused E(a)+b: alignment pow then multiply by the unblinded nude."""
+    a2 = mg.mont_pow(a_mont, da, ctx)
+    return mg.mont_mul(a2, _nude_raw(m, n_limbs, ctx), ctx)
+
+
+@jax.jit
+def _sum_aligned_dev(mont, digits, ctx):
+    """Fused homomorphic sum: alignment pow + log-depth modmul tree."""
+    return _tree_fold(mg.mont_pow(mont, digits, ctx), ctx)
+
+
+@jax.jit
+def _pow_abs_scan_dev(ct_mont, digits, ctx):
+    """P = ct^|k| plus the Montgomery-batch-inversion prefix scans.
+
+    Returns (P, fwd_excl, rev_excl, total): fwd_excl[i] = prod_{j<i} P_j,
+    rev_excl[i] = prod_{j>i} P_j (both Montgomery products over the batch
+    axis via log-depth associative scans), total = prod_j P_j. One host
+    inversion of `total` then yields every P_i^-1 as
+    fwd_excl[i] * rev_excl[i] * total^-1 — the negative-scalar branch of
+    the reference's inverse trick (phe/paillier.py:745-749) without
+    full-width exponents."""
+    P = mg.mont_pow(ct_mont, digits, ctx)
+    mul = lambda a, b: mg.mont_mul(a, b, ctx)
+    incl = jax.lax.associative_scan(mul, P, axis=0)
+    rev_incl = jax.lax.associative_scan(mul, P[::-1], axis=0)[::-1]
+    one = jnp.broadcast_to(ctx.one, P.shape).astype(P.dtype)
+    fwd_excl = jnp.concatenate([one[:1], incl[:-1]], axis=0)
+    rev_excl = jnp.concatenate([rev_incl[1:], one[:1]], axis=0)
+    return P, fwd_excl, rev_excl, incl[-1]
+
+
+@jax.jit
+def _select_inverse_dev(P, fwd_excl, rev_excl, tinv_mont, neg_mask, ctx):
+    """Finish batch inversion and select ct^k vs (ct^k)^-1 per element."""
+    inv = mg.mont_mul(
+        mg.mont_mul(fwd_excl, rev_excl, ctx),
+        jnp.broadcast_to(tinv_mont, fwd_excl.shape),
+        ctx,
+    )
+    return jnp.where(neg_mask[:, None] != 0, inv, P)
+
+
+@jax.jit
+def _decrypt_dev(ct_mont, pub_ctx, pk):
+    """Full batched CRT decryption on device -> plaintext residue limbs.
+
+    Replaces the reference's scalar raw_decrypt (phe/paillier.py:328-374)
+    end to end: per half-modulus, c^(p-1) mod p^2 (shared-exponent
+    Montgomery pow), the L function as an exact Hensel division
+    (L(x, p) = (x-1)/p = (x-1) * p^-1 mod 2^(15*Lh), exact because the
+    quotient is < p < 2^(15*Lh)), the hp/hq multiply mod p/q, and the CRT
+    recombination mp + p*((q + mq - mp) * p^-1 mod q) — all branch-free
+    limb arithmetic in one program. pk is a PrivateDeviceConstants pytree.
+    """
+    plain = mg.from_mont(ct_mont, pub_ctx)
+    Lh = pk.ctx_hp.num_limbs
+    halves = []
+    for ctx2, red, ddig, ctxh, pinv_hensel, h_limbs in (
+        (pk.ctx_p, pk.red_p, pk.dp_digits, pk.ctx_hp, pk.pinv2_p, pk.hp_limbs),
+        (pk.ctx_q, pk.red_q, pk.dq_digits, pk.ctx_hq, pk.pinv2_q, pk.hq_limbs),
+    ):
+        x = mg.mod_reduce(plain, ctx2, red)
+        powed = mg.mont_pow_shared(mg.to_mont(x, ctx2), ddig, ctx2)
+        xc = mg.export_canonical(mg.from_mont(powed, ctx2), ctx2)
+        # (x - 1) mod 2^(15*Lh): add (R_h - 1) and drop the top carry.
+        t = xc[..., :Lh]
+        ones = jnp.full(t.shape, lm.LIMB_MASK, dtype=jnp.uint32)
+        tm1 = lm.add(t, ones)  # == t - 1 (mod R_h), top carry dropped
+        # mul_low is exact only mod R_h; the redundant truncation can sit
+        # one R_h above the true quotient, and the value is used mod p
+        # next — normalize to canonical (< R_h) to pin it to exactly
+        # (x-1)/p, which is < p < R_h.
+        lfun = lm.normalize(
+            lm.mul_low(tm1, jnp.broadcast_to(pinv_hensel, tm1.shape), Lh)
+        )
+        hm = mg.mont_mul(
+            mg.to_mont(lfun, ctxh),
+            jnp.broadcast_to(h_limbs, lfun.shape),
+            ctxh,
+        )  # = L * h mod p (plain domain: one to_mont, one REDC)
+        halves.append(mg.export_canonical(hm, ctxh))
+    mp, mq = halves
+    # u = (q + mq - mp) * p^-1 mod q, branch-free via the radix complement.
+    ones = jnp.full(mp.shape, lm.LIMB_MASK, dtype=jnp.uint32)
+    neg_mp = (ones - mp).at[..., 0].add(1)  # R_h - mp (mp canonical)
+    # q + mq + (R_h - mp): full normalization ripples the carry out of the
+    # top limb, dropping exactly one R_h (the sum is in [R_h, R_h + 2q),
+    # and 2q < R_h by the context's 2^16 headroom) — a 3-pass carry_fix
+    # could leave the R_h encoded redundantly, which would corrupt the
+    # value mod q.
+    diff = lm.normalize(
+        jnp.broadcast_to(pk.q_limbs, mq.shape) + mq + neg_mp
+    )  # == q + mq - mp in (0, 2q), exact
+    u = mg.export_canonical(
+        mg.mont_mul(
+            mg.to_mont(diff, pk.ctx_hq),
+            jnp.broadcast_to(pk.pinvq_limbs, diff.shape),
+            pk.ctx_hq,
+        ),
+        pk.ctx_hq,
+    )
+    # m = mp + p * u  (< p*q = n, exact)
+    prod = lm.mul_full(u, jnp.broadcast_to(pk.p_limbs, u.shape))
+    pad = prod.shape[-1] - mp.shape[-1]
+    return lm.add(prod, jnp.pad(mp, [(0, 0)] * (mp.ndim - 1) + [(0, pad)]))
+
+
 class PublicDeviceContext:
     """Per-public-key device constants and jitted batch programs."""
 
@@ -327,6 +450,26 @@ def _nude_encrypt_dev(m, n_limbs, ctx):
     return _nude_raw(m, n_limbs, ctx)
 
 
+class PrivateDeviceConstants(NamedTuple):
+    """Pytree of per-private-key device constants for one-program decrypt."""
+
+    ctx_p: mg.MontgomeryContext  # mod p^2
+    red_p: mg.ReduceTable
+    dp_digits: jnp.ndarray  # p-1 digit schedule
+    ctx_q: mg.MontgomeryContext  # mod q^2
+    red_q: mg.ReduceTable
+    dq_digits: jnp.ndarray
+    ctx_hp: mg.MontgomeryContext  # mod p (half width)
+    ctx_hq: mg.MontgomeryContext  # mod q
+    pinv2_p: jnp.ndarray  # p^-1 mod 2^(15*Lh) (Hensel exact-division inverse)
+    pinv2_q: jnp.ndarray  # q^-1 mod 2^(15*Lh)
+    hp_limbs: jnp.ndarray  # hp canonical [Lh]
+    hq_limbs: jnp.ndarray
+    pinvq_limbs: jnp.ndarray  # p^-1 mod q canonical [Lh]
+    q_limbs: jnp.ndarray  # q canonical [Lh]
+    p_limbs: jnp.ndarray  # p canonical [Lh]
+
+
 class PrivateDeviceContext:
     """Per-private-key device constants for batched CRT decryption."""
 
@@ -335,14 +478,39 @@ class PrivateDeviceContext:
         pub = private_key.public_key
         self.pub_ctx = pub.device_context()
         p, q = private_key.p, private_key.q
-        self.ctx_p = mg.build_context(private_key.psquare)
-        self.ctx_q = mg.build_context(private_key.qsquare)
+        ctx_p = mg.build_context(private_key.psquare)
+        ctx_q = mg.build_context(private_key.qsquare)
         wide = self.pub_ctx.L
-        self.red_p = mg.build_reduce_table(private_key.psquare, self.ctx_p, wide)
-        self.red_q = mg.build_reduce_table(private_key.qsquare, self.ctx_q, wide)
         half_bits = max(p.bit_length(), q.bit_length())
-        self.dp_digits = jnp.asarray(mg.exponent_digits(p - 1, half_bits))
-        self.dq_digits = jnp.asarray(mg.exponent_digits(q - 1, half_bits))
+        ctx_hp = mg.build_context(p)
+        ctx_hq = mg.build_context(q, num_limbs=ctx_hp.num_limbs)
+        Lh = max(ctx_hp.num_limbs, ctx_hq.num_limbs)
+        if ctx_hp.num_limbs != Lh:
+            ctx_hp = mg.build_context(p, num_limbs=Lh)
+        Rh = 1 << (lm.LIMB_BITS * Lh)
+        pack = lambda v: jnp.asarray(hl.int_to_limbs(v, Lh))
+        self.consts = PrivateDeviceConstants(
+            ctx_p=ctx_p,
+            red_p=mg.build_reduce_table(private_key.psquare, ctx_p, wide),
+            dp_digits=jnp.asarray(mg.exponent_digits(p - 1, half_bits)),
+            ctx_q=ctx_q,
+            red_q=mg.build_reduce_table(private_key.qsquare, ctx_q, wide),
+            dq_digits=jnp.asarray(mg.exponent_digits(q - 1, half_bits)),
+            ctx_hp=ctx_hp,
+            ctx_hq=ctx_hq,
+            pinv2_p=pack(pow(p, -1, Rh)),
+            pinv2_q=pack(pow(q, -1, Rh)),
+            hp_limbs=pack(private_key.hp),
+            hq_limbs=pack(private_key.hq),
+            pinvq_limbs=pack(private_key.p_inverse),
+            q_limbs=pack(q),
+            p_limbs=pack(p),
+        )
+        # Kept for the two-phase API and tests.
+        self.ctx_p, self.red_p = self.consts.ctx_p, self.consts.red_p
+        self.ctx_q, self.red_q = self.consts.ctx_q, self.consts.red_q
+        self.dp_digits = self.consts.dp_digits
+        self.dq_digits = self.consts.dq_digits
 
     @classmethod
     def build(cls, private_key):
@@ -351,9 +519,9 @@ class PrivateDeviceContext:
     def crt_powers(self, ct_mont):
         """Device half of raw_decrypt: (c^(p-1) mod p^2, c^(q-1) mod q^2).
 
-        One fused program; returns canonical limb arrays. The cheap
-        L-function / hp,hq / CRT tail (phe/paillier.py:346-374) finishes
-        in exact host arithmetic.
+        One fused program; returns canonical limb arrays (two-phase
+        fallback path; the default decrypt is fully on-device via
+        raw_decrypt_batch).
         """
         return _crt_powers_dev(
             ct_mont, self.pub_ctx.ctx,
@@ -362,17 +530,13 @@ class PrivateDeviceContext:
         )
 
     def raw_decrypt_batch(self, ct_mont):
-        """Exact plaintext residues mod n for a Montgomery ciphertext batch."""
-        key = self.private_key
-        mp_arr, mq_arr = self.crt_powers(ct_mont)
-        mp_ints = hl.limbs_to_ints(np.asarray(jax.device_get(mp_arr)))
-        mq_ints = hl.limbs_to_ints(np.asarray(jax.device_get(mq_arr)))
-        out = []
-        for cp, cq in zip(mp_ints, mq_ints):
-            mp = key.l_function(cp % key.psquare, key.p) * key.hp % key.p
-            mq = key.l_function(cq % key.qsquare, key.q) * key.hq % key.q
-            out.append(key.crt(mp, mq))
-        return out
+        """Exact plaintext residues mod n for a Montgomery ciphertext batch.
+
+        One fused device program (CRT + L-function + recombination, see
+        _decrypt_dev); the host only unpacks limb rows back to ints.
+        """
+        m = _decrypt_dev(ct_mont, self.pub_ctx.ctx, self.consts)
+        return hl.limbs_to_ints(np.asarray(jax.device_get(m)))
 
 
 class EncryptedBatch:
@@ -531,6 +695,15 @@ class EncryptedBatch:
         target = np.minimum(self.exponents, other_exponents)
         return self.decrease_exponent_to(target), target
 
+    def _align_digits(self, target):
+        """[Bp, W] BASE**diff digit schedules aligning self to target exps."""
+        diffs = self.exponents - np.asarray(target, dtype=np.int64)
+        factors = [EncodedNumber.BASE ** int(d) for d in diffs]
+        bits = max(f.bit_length() for f in factors)
+        return jnp.asarray(
+            _digits_rows(factors, bits, pad_rows=self.mont.shape[0])
+        )
+
     def __add__(self, other):
         if isinstance(other, EncryptedBatch):
             return self._add_encrypted(other)
@@ -551,7 +724,7 @@ class EncryptedBatch:
         return self.mul_scalars(other)
 
     def _add_encrypted(self, other):
-        """Elementwise E(a)+E(b): Montgomery multiply after alignment."""
+        """Elementwise E(a)+E(b): one fused alignment + multiply program."""
         if self.public_key != other.public_key:
             raise ValueError(
                 "Attempted to add numbers encrypted against "
@@ -559,9 +732,20 @@ class EncryptedBatch:
             )
         if len(self) != len(other):
             raise ValueError("batch size mismatch")
-        a, target = self._aligned(other.exponents)
-        b = other.decrease_exponent_to(target)
-        mont = self._dc.mul_mont(a.mont, b.mont)
+        target = np.minimum(self.exponents, other.exponents)
+        dc = self._dc
+        if (self.exponents == target).all() and (
+            other.exponents == target
+        ).all():
+            mont = dc.mul_mont(self.mont, other.mont)
+        else:
+            mont = _add_encrypted_aligned_dev(
+                self.mont,
+                self._align_digits(target),
+                other.mont,
+                other._align_digits(target),
+                dc.ctx,
+            )
         return EncryptedBatch(self.public_key, mont, target, False)
 
     def add_scalars(self, scalars):
@@ -580,41 +764,72 @@ class EncryptedBatch:
             for s, e in zip(scalars, self.exponents)
         ]
         b_exps = np.array([e.exponent for e in encodings], dtype=np.int64)
-        a, target = self._aligned(b_exps)
+        target = np.minimum(self.exponents, b_exps)
         aligned_encodings = [
             e if e.exponent == t else e.decrease_exponent_to(int(t))
             for e, t in zip(encodings, target)
         ]
         dc = self._dc
-        mont = _add_encoded_dev(
-            a.mont,
-            dc.pack_messages(
-                [e.encoding for e in aligned_encodings],
-                pad_rows=a.mont.shape[0],
-            ),
-            dc.n_limbs,
-            dc.ctx,
+        m = dc.pack_messages(
+            [e.encoding for e in aligned_encodings],
+            pad_rows=self.mont.shape[0],
         )
+        if (self.exponents == target).all():
+            mont = _add_encoded_dev(self.mont, m, dc.n_limbs, dc.ctx)
+        else:
+            mont = _add_scalars_aligned_dev(
+                self.mont, self._align_digits(target), m, dc.n_limbs, dc.ctx
+            )
         return EncryptedBatch(self.public_key, mont, target, False)
 
     def mul_scalars(self, scalars):
-        """Elementwise E(a) * b: per-element-exponent modexp.
+        """Elementwise E(a) * b: short-exponent modexp with batch inversion.
 
-        Uses the raw encoding residue as the exponent directly: for
-        scalars in the negative window this is plaintext-equivalent to the
-        reference's inverse trick (the ciphertexts differ by an n-th-power
-        factor, which decryption annihilates) at the cost of a full-width
-        exponent. Positive mantissas reproduce the reference bit-for-bit.
+        The batched form of the reference's inverse trick
+        (phe/paillier.py:745-749): scalars in the negative encoding window
+        use |mantissa| = n - encoding as the exponent — short, like every
+        float/int mantissa — and the result is inverted mod n^2. All
+        inverses for the batch come from ONE host modular inversion via
+        Montgomery's batch-inversion identity (log-depth product scans on
+        device), so the per-element cost stays one short modexp. Results
+        for negative scalars differ from the reference ciphertext by an
+        n-th-power factor, exactly as the reference's own branch does
+        relative to c^plaintext; decryption agrees bit-for-bit.
         """
         scalars = _as_list(scalars, len(self))
+        pub = self.public_key
         encodings = [
             s if isinstance(s, EncodedNumber)
-            else EncodedNumber.encode(self.public_key, s)
+            else EncodedNumber.encode(pub, s)
             for s in scalars
         ]
-        exps = [e.encoding for e in encodings]
-        bits = max(max(e.bit_length() for e in exps), 1)
-        mont = self._dc.pow_scalars(self.mont, exps, bits)
+        neg_window = pub.n - pub.max_int
+        ks, neg = [], []
+        for e in encodings:
+            if e.encoding >= neg_window:
+                ks.append(pub.n - e.encoding)
+                neg.append(1)
+            else:
+                ks.append(e.encoding)
+                neg.append(0)
+        dc = self._dc
+        bits = max(max(k.bit_length() for k in ks), 1)
+        digits = jnp.asarray(
+            _digits_rows(ks, bits, pad_rows=self.mont.shape[0])
+        )
+        if any(neg):
+            P, fwd, rev, total = _pow_abs_scan_dev(self.mont, digits, dc.ctx)
+            total_int = dc.export_ints(total[None])[0]
+            from phe_tpu.utils.ntheory import invert
+
+            tinv = dc.pack_mod_nsquare([invert(total_int, pub.nsquare)])[0]
+            mask = jnp.asarray(
+                np.pad(np.asarray(neg, dtype=np.uint32),
+                       (0, self.mont.shape[0] - len(neg)))
+            )
+            mont = _select_inverse_dev(P, fwd, rev, tinv, mask, dc.ctx)
+        else:
+            mont = mg.mont_pow(self.mont, digits, dc.ctx)
         exponents = self.exponents + np.array(
             [e.exponent for e in encodings], dtype=np.int64
         )
@@ -628,8 +843,14 @@ class EncryptedBatch:
         (examples/federated_learning_with_encryption.py:122-133).
         """
         target = int(self.exponents.min())
-        a = self.decrease_exponent_to(target)
-        mont = _tree_reduce_dev(a.mont, self._dc.ctx)
+        if (self.exponents == target).all():
+            mont = _tree_reduce_dev(self.mont, self._dc.ctx)
+        else:
+            mont = _sum_aligned_dev(
+                self.mont,
+                self._align_digits(np.full_like(self.exponents, target)),
+                self._dc.ctx,
+            )
         return EncryptedBatch(
             self.public_key, mont, np.array([target]), False
         )

@@ -40,6 +40,15 @@ def _time_op(fn, runs=3):
     return float(np.median(times))
 
 
+def _sync(b):
+    """Hard device fence: materialise one row (block_until_ready alone
+    does not reliably fence execution over the tunnelled TPU transport)."""
+    import jax
+
+    np.asarray(jax.device_get(b.mont[0]))
+    return b
+
+
 def bench_key_size(keysize, batch, runs=3, emit=print):
     import phe_tpu
     from phe_tpu.batch import EncryptedBatch
@@ -68,15 +77,13 @@ def bench_key_size(keysize, batch, runs=3, emit=print):
     enc = EncryptedBatch.encrypt(pub, vals)
     enc2 = EncryptedBatch.encrypt(pub, scalars)
 
-    run("encrypt", lambda: EncryptedBatch.encrypt(pub, vals).mont
-        .block_until_ready())
+    run("encrypt", lambda: _sync(EncryptedBatch.encrypt(pub, vals)))
     run("decrypt", lambda: enc.decrypt(priv))
-    run("add_enc_enc", lambda: (enc + enc2).mont.block_until_ready())
-    run("add_enc_scalar", lambda: (enc + scalars).mont.block_until_ready())
-    run("add_enc_one", lambda: (enc + [1.0] * batch).mont.block_until_ready())
-    run("mul_enc_scalar", lambda: (enc * scalars).mont.block_until_ready())
-    run("sum_batch", lambda: enc.sum().mont.block_until_ready(),
-        unit="elements/s")
+    run("add_enc_enc", lambda: _sync(enc + enc2))
+    run("add_enc_scalar", lambda: _sync(enc + scalars))
+    run("add_enc_one", lambda: _sync(enc + [1.0] * batch))
+    run("mul_enc_scalar", lambda: _sync(enc * scalars))
+    run("sum_batch", lambda: _sync(enc.sum()), unit="elements/s")
 
     for op, r in results.items():
         emit(json.dumps({"metric": op, "keysize": keysize, "batch": batch,
