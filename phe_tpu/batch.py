@@ -105,7 +105,17 @@ def _pack_mont_dev(x, ctx):
 
 @jax.jit
 def _export_dev(mont, ctx):
-    return mg.export_canonical(mg.from_mont(mont, ctx), ctx)
+    """Montgomery -> canonical residues, packed to bytes on device."""
+    return lm.pack_bytes(mg.export_canonical(mg.from_mont(mont, ctx), ctx))
+
+
+def _bytes_to_ints(rows):
+    """[B, nbytes] uint8 -> Python ints (one C-speed from_bytes per row)."""
+    rows = np.asarray(rows)
+    return [
+        int.from_bytes(rows[i].tobytes(), "little")
+        for i in range(rows.shape[0])
+    ]
 
 
 @jax.jit
@@ -313,10 +323,11 @@ def _decrypt_dev(ct_mont, pub_ctx, pk):
         ),
         pk.ctx_hq,
     )
-    # m = mp + p * u  (< p*q = n, exact)
+    # m = mp + p * u  (< p*q = n, exact); normalize for the byte packer.
     prod = lm.mul_full(u, jnp.broadcast_to(pk.p_limbs, u.shape))
     pad = prod.shape[-1] - mp.shape[-1]
-    return lm.add(prod, jnp.pad(mp, [(0, 0)] * (mp.ndim - 1) + [(0, pad)]))
+    m = lm.add(prod, jnp.pad(mp, [(0, 0)] * (mp.ndim - 1) + [(0, pad)]))
+    return lm.pack_bytes(lm.normalize(m))
 
 
 class PublicDeviceContext:
@@ -350,8 +361,9 @@ class PublicDeviceContext:
 
     def export_ints(self, mont_arr):
         """Montgomery-domain [B, L] -> canonical Python ints in [0, n^2)."""
-        plain = _export_dev(mont_arr, self.ctx)
-        return hl.limbs_to_ints(np.asarray(jax.device_get(plain)))
+        return _bytes_to_ints(
+            jax.device_get(_export_dev(mont_arr, self.ctx))
+        )
 
     # -- core batch programs ----------------------------------------------
 
@@ -533,10 +545,10 @@ class PrivateDeviceContext:
         """Exact plaintext residues mod n for a Montgomery ciphertext batch.
 
         One fused device program (CRT + L-function + recombination, see
-        _decrypt_dev); the host only unpacks limb rows back to ints.
+        _decrypt_dev); the host only rebuilds ints from packed bytes.
         """
         m = _decrypt_dev(ct_mont, self.pub_ctx.ctx, self.consts)
-        return hl.limbs_to_ints(np.asarray(jax.device_get(m)))
+        return _bytes_to_ints(jax.device_get(m))
 
 
 class EncryptedBatch:
@@ -583,11 +595,14 @@ class EncryptedBatch:
         unblinded (r=1) with is_obfuscated False, for intermediate values.
         """
         dc = public_key.device_context()
-        encodings = [
-            v if isinstance(v, EncodedNumber)
-            else EncodedNumber.encode(public_key, v, precision)
-            for v in values
-        ]
+        if precision is None:
+            encodings = EncodedNumber.encode_many(public_key, values)
+        else:
+            encodings = [
+                v if isinstance(v, EncodedNumber)
+                else EncodedNumber.encode(public_key, v, precision)
+                for v in values
+            ]
         exponents = [e.exponent for e in encodings]
         residues = [e.encoding for e in encodings]
         if r_values is not None:
@@ -798,11 +813,7 @@ class EncryptedBatch:
         """
         scalars = _as_list(scalars, len(self))
         pub = self.public_key
-        encodings = [
-            s if isinstance(s, EncodedNumber)
-            else EncodedNumber.encode(pub, s)
-            for s in scalars
-        ]
+        encodings = EncodedNumber.encode_many(pub, scalars)
         neg_window = pub.n - pub.max_int
         ks, neg = [], []
         for e in encodings:
@@ -882,10 +893,7 @@ class EncryptedBatch:
         dc = self._dc
         w_mont = self.mont[:D]  # trim bucket padding: the grid is logical-D
         encodings = [
-            [EncodedNumber.encode(self.public_key, v)
-             for v in (float(x) if isinstance(x, np.floating) else
-                       int(x) if isinstance(x, np.integer) else x
-                       for x in row)]
+            EncodedNumber.encode_many(self.public_key, row)
             for row in matrix.tolist()
         ]
         # ciphertext^x_ji digit schedules over the [B, D] grid.

@@ -92,6 +92,42 @@ class EncodedNumber(object):
 
         return cls(public_key, int_rep % public_key.n, exponent)
 
+    @classmethod
+    def encode_many(cls, public_key, values):
+        """Vectorised exact encoding of a list of ints/floats.
+
+        Bit-identical to calling ``encode`` per element (same exponent
+        selection, same round-half-even mantissa), but the rational
+        arithmetic is replaced by exact float scaling when BASE is a power
+        of two: scalar * BASE**-exponent is then a power-of-two multiply
+        (``math.ldexp``), exact in IEEE-754 up to the float range, and
+        Python's round() applies the same banker's rounding. Non-power-of-
+        two bases (subclasses) and non-float values fall back to the exact
+        rational path.
+        """
+        log2b = cls.BASE.bit_length() - 1
+        pow2_base = cls.BASE == (1 << log2b)
+        out = []
+        n = public_key.n
+        max_int = public_key.max_int
+        for scalar in values:
+            if isinstance(scalar, EncodedNumber):
+                out.append(scalar)
+                continue
+            if not (pow2_base and isinstance(scalar, float)):
+                out.append(cls.encode(public_key, scalar))
+                continue
+            bin_lsb = math.frexp(scalar)[1] - cls.FLOAT_MANTISSA_BITS
+            exponent = math.floor(bin_lsb / cls.LOG2_BASE)
+            int_rep = round(math.ldexp(scalar, -log2b * exponent))
+            if abs(int_rep) > max_int:
+                raise ValueError(
+                    "Integer needs to be within +/- %d but got %d"
+                    % (max_int, int_rep)
+                )
+            out.append(cls(public_key, int_rep % n, exponent))
+        return out
+
     def decode(self):
         """Decode back to an int or float (reference: phe/encoding.py:201-233).
 

@@ -39,6 +39,7 @@ form happens only at boundaries (export / compare / decrypt windows).
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 LIMB_BITS = 15
 LIMB_MASK = (1 << LIMB_BITS) - 1
@@ -149,6 +150,26 @@ def normalize(x):
     return jax.lax.while_loop(
         lambda s: jnp.any(s > LIMB_MASK), carry_pass, x
     )
+
+
+def pack_bytes(x):
+    """Canonical limbs [..., L] -> little-endian bytes [..., ceil(15L/8)].
+
+    Device-side base conversion so the host can rebuild Python ints with
+    one C-speed int.from_bytes per row instead of a per-limb Horner loop.
+    Byte j covers bits [8j, 8j+8), spanning at most two 15-bit limbs; the
+    source indices and shifts are static arrays, so this is two gathers
+    and a shift-or. Input must be canonical (limbs <= 2**15 - 1).
+    """
+    L = x.shape[-1]
+    nbytes = (LIMB_BITS * L + 7) // 8
+    j = np.arange(nbytes)
+    a = (8 * j) // LIMB_BITS
+    s = jnp.asarray(((8 * j) % LIMB_BITS).astype(np.uint32))
+    hi_ok = jnp.asarray((a + 1 < L).astype(np.uint32))
+    lo = jnp.take(x, jnp.asarray(a), axis=-1) >> s
+    hi = jnp.take(x, jnp.asarray(np.minimum(a + 1, L - 1)), axis=-1) * hi_ok
+    return ((lo | (hi << (LIMB_BITS - s))) & 0xFF).astype(jnp.uint8)
 
 
 def cond_sub(x, m_complement, m_width):

@@ -251,14 +251,19 @@ def mod_reduce(x, ctx, table):
     def fold(v):
         low = v[..., :L]
         high = v[..., L:]  # [..., K] limbs <= 2**16 (redundant headroom)
+        K = high.shape[-1]
         nbatch = v.ndim - 1
         acc = jnp.pad(low, [(0, 0)] * nbatch + [(0, 1)])  # [..., L+1]
         # sum_j high_j * powers[j] as three static uint32 contractions —
         # high split into 6-bit parts so each product is < 2**21 and a
         # K-term sum stays < 2**31 for K < 1024 (no loops, no dynamic
         # slices: the fold is a plain [K] x [K, L] integer matmul).
+        # The table MUST be sliced to this fold's actual over-limb count:
+        # jnp.einsum silently broadcasts a size-1 contraction dim against
+        # the full table, which would sum every power row.
+        powers = table.powers[:K]
         dot = lambda h: jnp.einsum(
-            "...k,kl->...l", h, table.powers,
+            "...k,kl->...l", h, powers,
             preferred_element_type=jnp.uint32,
         )
         pad_lo = [(0, 0)] * nbatch + [(0, 1)]
