@@ -79,6 +79,20 @@ def bench_key_size(keysize, batch, runs=3, emit=print):
 
     run("encrypt", lambda: _sync(EncryptedBatch.encrypt(pub, vals)))
     run("decrypt", lambda: enc.decrypt(priv))
+
+    # Roofline accounting: achieved fraction of the chip's u32-multiply peak.
+    from phe_tpu import profiling
+
+    dc = pub.device_context()
+    pdc = priv.device_context()
+    results["encrypt"]["speed_of_light"] = profiling.report(
+        "encrypt", results["encrypt"]["value"],
+        profiling.encrypt_cost(dc.n_bits, dc.L),
+    )["speed_of_light_fraction"]
+    results["decrypt"]["speed_of_light"] = profiling.report(
+        "decrypt", results["decrypt"]["value"],
+        profiling.decrypt_cost(dc.n_bits, pdc.consts.ctx_p.num_limbs),
+    )["speed_of_light_fraction"]
     run("add_enc_enc", lambda: _sync(enc + enc2))
     run("add_enc_scalar", lambda: _sync(enc + scalars))
     run("add_enc_one", lambda: _sync(enc + [1.0] * batch))

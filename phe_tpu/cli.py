@@ -177,6 +177,51 @@ def decrypt_vector(private, ciphertexts, output):
     print(json.dumps(batch.decrypt(priv)), file=output)
 
 
+@cli.command("addvec")
+@click.argument("public", type=click.File("r"))
+@click.argument("ciphertexts", type=click.File("r"))
+@click.argument("plainvec", type=click.File("r"))
+@click.option("--output", type=click.File("w"),
+              help="Save to file instead of stdout")
+def add_vector(public, ciphertexts, plainvec, output):
+    """Elementwise add a JSON array of numbers to an encrypted vector."""
+    pub = serial.public_key_from_jwk(json.load(public))
+    batch = serial.load_encrypted_batch(json.load(ciphertexts), pub)
+    nums = [float(v) for v in json.load(plainvec)]
+    log("Adding {} plaintext values".format(len(nums)))
+    print(json.dumps(serial.dump_encrypted_batch(batch + nums)), file=output)
+
+
+@cli.command("addencvec")
+@click.argument("public", type=click.File("r"))
+@click.argument("encrypted_a", type=click.File("r"))
+@click.argument("encrypted_b", type=click.File("r"))
+@click.option("--output", type=click.File("w"),
+              help="Save to file instead of stdout")
+def add_encrypted_vector(public, encrypted_a, encrypted_b, output):
+    """Elementwise add two serialised encrypted vectors."""
+    pub = serial.public_key_from_jwk(json.load(public))
+    a = serial.load_encrypted_batch(json.load(encrypted_a), pub)
+    b = serial.load_encrypted_batch(json.load(encrypted_b), pub)
+    log("Adding two encrypted vectors of {}".format(len(a)))
+    print(json.dumps(serial.dump_encrypted_batch(a + b)), file=output)
+
+
+@cli.command("multiplyvec")
+@click.argument("public", type=click.File("r"))
+@click.argument("ciphertexts", type=click.File("r"))
+@click.argument("plainvec", type=click.File("r"))
+@click.option("--output", type=click.File("w"),
+              help="Save to file instead of stdout")
+def multiply_vector(public, ciphertexts, plainvec, output):
+    """Elementwise multiply an encrypted vector by a JSON array of numbers."""
+    pub = serial.public_key_from_jwk(json.load(public))
+    batch = serial.load_encrypted_batch(json.load(ciphertexts), pub)
+    nums = [float(v) for v in json.load(plainvec)]
+    log("Multiplying by {} plaintext values".format(len(nums)))
+    print(json.dumps(serial.dump_encrypted_batch(batch * nums)), file=output)
+
+
 @cli.command("sumvec")
 @click.argument("public", type=click.File("r"))
 @click.argument("ciphertexts", type=click.File("r"))

@@ -22,6 +22,29 @@ BATCH_AXIS = "dp"
 VECTOR_AXIS = "mp"
 
 
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Multi-host bring-up: one JAX process per host, devices pooled.
+
+    Thin wrapper over jax.distributed.initialize with the standard
+    environment-variable autodetection (GKE/Cloud TPU set everything).
+    After this, jax.devices() spans the slice and batch_mesh() builds a
+    global (dp, mp) mesh whose ring all-reduce rides ICI within a slice
+    and DCN across hosts. No-op if already initialized.
+    """
+    import jax
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError:  # already initialized
+        pass
+    return jax.devices()
+
+
 def batch_mesh(n_devices=None, mp=1, devices=None):
     """A (dp, mp) mesh over the available devices.
 

@@ -220,6 +220,48 @@ class TestBatchCommands:
         r = runner.invoke(cli, ["decrypt", str(priv_file), str(sum_file)])
         assert float(r.output.strip().splitlines()[-1]) == sum(vals)
 
+    def test_addvec_addencvec_multiplyvec(self, keyfiles, tmp_path):
+        d, priv_file, pub_file = keyfiles
+        runner = CliRunner()
+        vals = [1.5, -2.0, 4.0]
+        plain = [10.0, 0.5, -1.0]
+        values_file = tmp_path / "vals.json"
+        values_file.write_text(json.dumps(vals))
+        plain_file = tmp_path / "plain.json"
+        plain_file.write_text(json.dumps(plain))
+        enc_file = tmp_path / "encvec.json"
+        runner.invoke(
+            cli,
+            ["encryptvec", str(pub_file), str(values_file),
+             "--output", str(enc_file)],
+        )
+        added = tmp_path / "added.json"
+        r = runner.invoke(
+            cli,
+            ["addvec", str(pub_file), str(enc_file), str(plain_file),
+             "--output", str(added)],
+        )
+        assert r.exit_code == 0, r.output
+        doubled = tmp_path / "doubled.json"
+        r = runner.invoke(
+            cli,
+            ["addencvec", str(pub_file), str(added), str(enc_file),
+             "--output", str(doubled)],
+        )
+        assert r.exit_code == 0, r.output
+        scaled = tmp_path / "scaled.json"
+        r = runner.invoke(
+            cli,
+            ["multiplyvec", str(pub_file), str(doubled), str(plain_file),
+             "--output", str(scaled)],
+        )
+        assert r.exit_code == 0, r.output
+        r = runner.invoke(cli, ["decryptvec", str(priv_file), str(scaled)])
+        assert r.exit_code == 0, r.output
+        got = json.loads(r.output.strip().splitlines()[-1])
+        want = [(2 * v + p) * p for v, p in zip(vals, plain)]
+        assert got == pytest.approx(want, rel=1e-10)
+
     def test_vector_format_elements_reference_compatible(
         self, keyfiles, tmp_path
     ):
