@@ -61,4 +61,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # One retry on transient device faults (the tunnelled TPU worker can
+    # restart between runs); the driver needs the JSON line either way.
+    try:
+        main()
+    except Exception:
+        time.sleep(30)
+        main()

@@ -105,17 +105,60 @@ def bench_key_size(keysize, batch, runs=3, emit=print):
     return results
 
 
+def bench_scaling(keysize=1024, batch=2048, runs=3, emit=print):
+    """Mesh-scaling efficiency for the encrypted aggregation reduce.
+
+    Shards the batch over sub-meshes of 1, 2, 4, ... devices and reports
+    elements/s plus efficiency relative to linear scaling from 1 device —
+    the BASELINE.json north-star metric. Meaningful on a real multi-chip
+    slice; on the CPU test mesh it validates the harness only.
+    """
+    import jax
+
+    import phe_tpu
+    from phe_tpu.batch import EncryptedBatch
+    from phe_tpu.parallel import batch_mesh, encrypted_sum_sharded
+
+    pub, priv = phe_tpu.generate_paillier_keypair(n_length=keysize)
+    rng = np.random.default_rng(7)
+    vals = [float(v) for v in rng.uniform(-1e3, 1e3, batch)]
+    enc = EncryptedBatch.encrypt(pub, vals)
+
+    n_dev = len(jax.devices())
+    sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_dev]
+    base_rate = None
+    out = {}
+    for d in sizes:
+        mesh = batch_mesh(n_devices=d)
+        fn = lambda: _sync(encrypted_sum_sharded(enc, mesh))
+        fn()  # compile
+        dt = _time_op(fn, runs)
+        rate = batch / dt
+        if base_rate is None:
+            base_rate = rate
+        eff = rate / (base_rate * d)
+        out[d] = {"elements_per_s": round(rate, 1),
+                  "scaling_efficiency": round(eff, 3)}
+        emit(json.dumps({"metric": "encrypted_sum_scaling", "devices": d,
+                         "keysize": keysize, "batch": batch, **out[d]}))
+    return out
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--key-sizes", default="1024,2048",
                     help="comma-separated bit lengths")
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--scaling", action="store_true",
+                    help="also run the mesh-scaling efficiency sweep")
     args = ap.parse_args(argv)
 
     all_results = {}
     for ks in [int(s) for s in args.key_sizes.split(",")]:
         all_results[ks] = bench_key_size(ks, args.batch, args.runs)
+    if args.scaling:
+        bench_scaling()
 
     print("\n== summary (ops/s, vs single-core CPython baseline) ==",
           file=sys.stderr)
