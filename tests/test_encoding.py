@@ -158,3 +158,27 @@ class TestBooleanScalars:
         enc = EncodedNumber.encode(pub, True)
         assert enc.exponent == 0
         assert enc.decode() == 1
+
+
+class TestEncodeMany:
+    def test_matches_scalar_encode_bitwise(self, keypair):
+        pub, _ = keypair
+        values = [0.0, 1.0, -1.0, 3.141592653589793, -2.5e-12, 1e200,
+                  -0.1, 123, -456, 2**40 + 1, 0.5, 2.0**-1060]
+        fast = EncodedNumber.encode_many(pub, values)
+        slow = [EncodedNumber.encode(pub, v) for v in values]
+        for f, s, v in zip(fast, slow, values):
+            assert (f.encoding, f.exponent) == (s.encoding, s.exponent), v
+
+    def test_odd_base_falls_back_to_exact_path(self, keypair):
+        pub, _ = keypair
+
+        class Base13(EncodedNumber):
+            BASE = 13
+            LOG2_BASE = math.log(13, 2)
+
+        values = [1.25, -7.75, 1e-3]
+        fast = Base13.encode_many(pub, values)
+        slow = [Base13.encode(pub, v) for v in values]
+        for f, s in zip(fast, slow):
+            assert (f.encoding, f.exponent) == (s.encoding, s.exponent)

@@ -309,3 +309,23 @@ class TestEncryptedNumberConstruction:
             enc._raw_mul(pub.n)
         with pytest.raises(TypeError):
             enc._raw_mul(1.5)
+
+
+class TestOverflowSemantics:
+    def test_detectable_overflow_raises_on_decode(self, keypair):
+        # phe/tests/paillier_test.py:608-620: sums that land in the
+        # detection window between +max_int and n-max_int raise.
+        pub, priv = keypair
+        big = pub.max_int  # encodes at the positive edge
+        enc = pub.encrypt(big) + pub.encrypt(big)
+        with pytest.raises(OverflowError):
+            priv.decrypt(enc)
+
+    def test_undetectable_wrap_is_silent(self, keypair):
+        # phe/tests/paillier_test.py:622-635: a full 3*max_int wrap is
+        # undetectable by design and decodes to a wrong value silently.
+        pub, priv = keypair
+        third = pub.max_int
+        enc = pub.encrypt(third) + pub.encrypt(third) + pub.encrypt(third)
+        got = priv.decrypt(enc)  # must NOT raise
+        assert got != 3 * third
