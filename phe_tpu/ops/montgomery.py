@@ -61,8 +61,15 @@ class MontgomeryContext(NamedTuple):
 
 
 def num_limbs_for_modulus(modulus_bits):
-    """L such that R = 2**(15 L) >= 2**16 * M for any M of modulus_bits."""
-    return -(-(modulus_bits + 16) // lm.LIMB_BITS)
+    """L such that R = 2**(15 L) >= 2**16 * M for any M of modulus_bits.
+
+    Rounded up to a multiple of 8 (the uint32 sublane tile) so the
+    column-major Pallas engine can place limbs on the sublane axis without
+    re-padding; the extra headroom only loosens the subtraction-free
+    Montgomery bounds further.
+    """
+    raw = -(-(modulus_bits + 16) // lm.LIMB_BITS)
+    return -(-raw // 8) * 8
 
 
 def build_context(modulus, num_limbs=None):
@@ -154,7 +161,12 @@ def exponent_digits(exponent, exponent_bits, window=DEFAULT_WINDOW):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("window",))
+def _backend():
+    import os
+
+    return os.environ.get("PHE_TPU_BACKEND", "auto")
+
+
 def mont_pow_shared(base, digits, ctx, window=DEFAULT_WINDOW):
     """base^e in Montgomery form, one exponent shared across the batch.
 
@@ -162,12 +174,34 @@ def mont_pow_shared(base, digits, ctx, window=DEFAULT_WINDOW):
     (obfuscation), c^(p-1) mod p^2 and c^(q-1) mod q^2 (CRT decrypt) —
     the exponent is a property of the key, the bases vary per element.
 
+    On TPU this dispatches to the VMEM-resident Pallas kernel
+    (phe_tpu.ops.pallas_modexp), which runs the whole windowed modexp
+    on-chip; the XLA formulation below is the portable fallback (and the
+    CPU test path). Override with PHE_TPU_BACKEND=xla|pallas.
+
     Args:
       base: [..., L] Montgomery-domain bases.
       digits: [n_windows] int32, MSB-first base-2**window digits of e.
       ctx: MontgomeryContext (arrays broadcastable against base).
     Returns [..., L] base^e * R mod M (redundant form).
     """
+    be = _backend()
+    use_pallas = be == "pallas" or (be == "auto" and jax.default_backend() == "tpu")
+    if (
+        use_pallas
+        and base.ndim == 2
+        and ctx.num_limbs % 8 == 0
+        and getattr(digits, "ndim", 1) == 1
+    ):
+        from phe_tpu.ops import pallas_modexp
+
+        return pallas_modexp.mont_pow_shared(base, digits, ctx, window=window)
+    return _mont_pow_shared_xla(base, digits, ctx, window=window)
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def _mont_pow_shared_xla(base, digits, ctx, window=DEFAULT_WINDOW):
+    """XLA scan formulation of the shared-exponent windowed modexp."""
     table = _windowed_table(base, ctx, window)
     one = jnp.broadcast_to(ctx.one, base.shape).astype(jnp.uint32)
 

@@ -1,0 +1,219 @@
+"""Pallas TPU kernel: fully VMEM-resident windowed Montgomery modexp.
+
+This is the production hot kernel replacing the reference's GMP ``powmod``
+(phe/util.py:38-50) for the batched device paths: encryption obfuscation
+``r^n mod n^2`` (phe/paillier.py:136-139) and CRT decryption
+``c^(p-1) mod p^2`` / ``c^(q-1) mod q^2`` (phe/paillier.py:346-353) — all
+"shared exponent, per-element base" modexps.
+
+Design (TPU-first, not a GMP translation):
+
+* **Sublane-major layout.** A batch tile of bignums lives as
+  ``uint32[L, TB]``: limbs down the sublane axis, batch elements across the
+  128-wide lane axis. Every schoolbook step is then a full-width vector
+  multiply-accumulate into a sublane-offset window of a VMEM accumulator —
+  no lane shuffles, no [B, L, L] outer-product tensors, no HBM traffic
+  between Montgomery steps (the XLA formulation in
+  phe_tpu.ops.montgomery materialises exactly those, which is why it runs
+  memory-bound and falls over at large batches).
+* **Redundant base-2^15 limbs** as in phe_tpu.ops.limb_math: limbs carried
+  at <= 2**15, products of redundant limbs fit uint32, and a schoolbook
+  accumulator slot absorbs <= 2*min(La,Lb) 15-bit halves (< 2**25) before
+  one three-pass carry fix. Same subtraction-free Montgomery variant
+  (R >= 2**16 * M, chain values < 1.01 M, no data-dependent branches — the
+  kernel is constant-time with respect to both bases and exponent).
+* **Whole modexp in one kernel.** The window table (2^w entries), the
+  accumulator and the wide product stay in VMEM scratch across all
+  ~bits/w windows; HBM sees one [L, TB] read of the bases and one [L, TB]
+  write of the result per batch tile.
+* **REDC fused into the accumulator**: the ``m_q * M`` product is
+  multiply-accumulated straight into the wide product (slots < 2**26),
+  saving a buffer and a full-width add.
+* Mutation happens only through scratch refs (Mosaic has no lowering for
+  ``dynamic_update_slice``/``scatter`` on values).
+
+Interpret mode runs the identical kernel on CPU for the test suite.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from phe_tpu.ops import limb_math as lm
+
+LANES = 128
+
+
+def _interpret():
+    return jax.default_backend() != "tpu"
+
+
+def _carry_fix_cols(x, passes=3):
+    """Carry restore on [W, TB] columns (slots < 2**31 -> limbs <= 2**15)."""
+    zero = jnp.zeros_like(x[:1])
+    for _ in range(passes):
+        hi = x >> lm.LIMB_BITS
+        x = (x & lm.LIMB_MASK) + jnp.concatenate([zero, hi[:-1]], axis=0)
+    return x
+
+
+def _mul_into(t_ref, a_ref, b, La, accumulate=False, fix=True):
+    """Schoolbook multiply-accumulate: t_ref[0:La+Lb] (+)= a_ref[0:La] * b.
+
+    a_ref: scratch/input ref holding the dynamically-indexed operand
+      (limbs <= 2**15).
+    b: [Lb, TB] value operand (limbs <= 2**15).
+    Each fori_loop step does one [Lb, TB] vector multiply and a
+    read-modify-write of a [Lb+1, TB] window at sublane offset i.
+    Slot growth: <= 2*min(La, Lb)*2**15 < 2**25 on top of the existing
+    contents — callers keep totals < 2**31.
+    """
+    Lb, TB = b.shape
+    zrow = jnp.zeros((1, TB), jnp.uint32)
+    if not accumulate:
+        t_ref[0 : La + Lb, :] = jnp.zeros((La + Lb, TB), jnp.uint32)
+
+    def body(i, _):
+        ai = a_ref[pl.ds(i, 1), :]  # [1, TB]
+        p = ai * b  # [Lb, TB], < 2**30
+        contrib = jnp.concatenate([p & lm.LIMB_MASK, zrow], 0) + jnp.concatenate(
+            [zrow, p >> lm.LIMB_BITS], 0
+        )  # [Lb+1, TB]
+        t_ref[pl.ds(i, Lb + 1), :] = t_ref[pl.ds(i, Lb + 1), :] + contrib
+        return 0
+
+    jax.lax.fori_loop(0, La, body, 0)
+    if fix:
+        t_ref[0 : La + Lb, :] = _carry_fix_cols(t_ref[0 : La + Lb, :])
+
+
+def _mont_mul_into(out_write, a_ref, b, m, mp, t_ref, w_ref):
+    """out = REDC(a * b): Montgomery product via two VMEM scratch buffers.
+
+    out_write: callable consuming the [L, TB] result (written via the
+      caller's ref so the result can land in the accumulator, the table, or
+      the kernel output without an extra copy).
+    a_ref: ref with the left operand in limbs [0:L] (<= 2**15 each).
+    b: [L, TB] value, right operand.
+    """
+    L, TB = b.shape
+    _mul_into(t_ref, a_ref, b, L)  # t = a*b, carry-fixed
+    # m_q = (t mod R) * M' mod R: low L limbs of t[0:L] * mp.
+    _mul_into(w_ref, t_ref, mp, L)  # w[0:2L] = t[0:L] * mp (only [0:L] used)
+    # t += m_q * M, accumulated in place (slots < 2**25 + 2**15 < 2**26).
+    _mul_into(t_ref, w_ref, m, L, accumulate=True, fix=False)
+    u = _carry_fix_cols(t_ref[0 : 2 * L, :])
+    low, high = u[:L], u[L:]
+    # Exact /R: the low half's value is a multiple of R and < 2R, so the
+    # carry into the high half is 1 iff any low limb is non-zero.
+    carry = jnp.any(low != 0, axis=0, keepdims=True).astype(jnp.uint32)
+    high = high + jnp.concatenate(
+        [carry, jnp.zeros((L - 1, TB), jnp.uint32)], axis=0
+    )
+    out_write(_carry_fix_cols(high))
+
+
+def _pow_kernel(
+    digits_ref, base_ref, m_ref, mp_ref, one_ref, out_ref,
+    acc_ref, t_ref, w_ref, tab_ref, *, window,
+):
+    L, TB = base_ref.shape
+    m = jnp.broadcast_to(m_ref[:, :], (L, TB))
+    mp = jnp.broadcast_to(mp_ref[:, :], (L, TB))
+    one = jnp.broadcast_to(one_ref[:, :], (L, TB)).astype(jnp.uint32)
+
+    # Window table: tab[k] = base^k in Montgomery form.
+    K = 2**window
+    tab_ref[0] = one
+    tab_ref[1] = base_ref[:, :]
+
+    def build(k, _):
+        def write(v):
+            tab_ref[k] = v
+
+        # tab[k] = tab[k-1] * base; acc_ref holds tab[k-1] as the
+        # dynamically-indexed operand.
+        acc_ref[:, :] = tab_ref[k - 1]
+        _mont_mul_into(write, acc_ref, base_ref[:, :], m, mp, t_ref, w_ref)
+        return 0
+
+    jax.lax.fori_loop(2, K, build, 0)
+
+    acc_ref[:, :] = one
+    n_windows = digits_ref.shape[0]
+
+    def acc_write(v):
+        acc_ref[:, :] = v
+
+    def step(wi, _):
+        for _ in range(window):
+            _mont_mul_into(
+                acc_write, acc_ref, acc_ref[:, :], m, mp, t_ref, w_ref
+            )
+        factor = tab_ref[digits_ref[wi]]
+        _mont_mul_into(acc_write, acc_ref, factor, m, mp, t_ref, w_ref)
+        return 0
+
+    jax.lax.fori_loop(0, n_windows, step, 0)
+    out_ref[:, :] = acc_ref[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("window", "tb"))
+def mont_pow_shared_cols(base_cols, digits, ctx, window=4, tb=LANES):
+    """Windowed modexp over column-major bases, one shared exponent.
+
+    Args:
+      base_cols: uint32[L, B] Montgomery-domain bases, limbs on the sublane
+        axis (L must be a multiple of 8; use a context built with padded
+        limb count).
+      digits: int32[n_windows] MSB-first base-2**window exponent digits.
+      ctx: montgomery.MontgomeryContext for the modulus.
+    Returns uint32[L, B] of base^e * R mod M (redundant form, < 1.01 M).
+    """
+    L, B = base_cols.shape
+    if L % 8:
+        raise ValueError("limb count must be padded to a multiple of 8")
+    pad = (-B) % tb
+    if pad:
+        base_cols = jnp.pad(base_cols, ((0, 0), (0, pad)))
+    Bp = base_cols.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Bp // tb,),
+        in_specs=[
+            pl.BlockSpec((L, tb), lambda i, _: (0, i)),
+            pl.BlockSpec((L, 1), lambda i, _: (0, 0)),
+            pl.BlockSpec((L, 1), lambda i, _: (0, 0)),
+            pl.BlockSpec((L, 1), lambda i, _: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((L, tb), lambda i, _: (0, i)),
+        scratch_shapes=[
+            pltpu.VMEM((L, tb), jnp.uint32),  # acc
+            pltpu.VMEM((2 * L, tb), jnp.uint32),  # wide product
+            pltpu.VMEM((2 * L, tb), jnp.uint32),  # m_q scratch
+            pltpu.VMEM((2**window, L, tb), jnp.uint32),  # window table
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_pow_kernel, window=window),
+        out_shape=jax.ShapeDtypeStruct((L, Bp), jnp.uint32),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(
+        jnp.asarray(digits, jnp.int32),
+        base_cols,
+        ctx.m[:, None],
+        ctx.m_prime[:, None],
+        ctx.one[:, None],
+    )
+    return out[:, :B]
+
+
+def mont_pow_shared(base, digits, ctx, window=4, tb=LANES):
+    """Row-major convenience wrapper: [B, L] in, [B, L] out."""
+    out = mont_pow_shared_cols(base.T, digits, ctx, window=window, tb=tb)
+    return out.T
