@@ -110,7 +110,23 @@ def redc(t, ctx):
 
 
 def mont_mul(a, b, ctx):
-    """Montgomery product: a*b*R^-1 mod M over [..., L] operands."""
+    """Montgomery product: a*b*R^-1 mod M over [..., L] operands.
+
+    On TPU, 2D [B, L] operands route to the VMEM-resident Pallas kernel
+    (one fused multiply per batch tile); other ranks and CPU use the XLA
+    formulation.
+    """
+    if (
+        _use_pallas()
+        and a.ndim == 2
+        and b.ndim == 2
+        and a.shape == b.shape
+        and ctx.num_limbs % 8 == 0
+        and a.shape[-1] == ctx.num_limbs
+    ):
+        from phe_tpu.ops import pallas_modexp
+
+        return pallas_modexp.mont_mul(a, b, ctx)
     return redc(lm.mul_full(a, b), ctx)
 
 
@@ -167,6 +183,11 @@ def _backend():
     return os.environ.get("PHE_TPU_BACKEND", "auto")
 
 
+def _use_pallas():
+    be = _backend()
+    return be == "pallas" or (be == "auto" and jax.default_backend() == "tpu")
+
+
 def mont_pow_shared(base, digits, ctx, window=DEFAULT_WINDOW):
     """base^e in Montgomery form, one exponent shared across the batch.
 
@@ -185,10 +206,8 @@ def mont_pow_shared(base, digits, ctx, window=DEFAULT_WINDOW):
       ctx: MontgomeryContext (arrays broadcastable against base).
     Returns [..., L] base^e * R mod M (redundant form).
     """
-    be = _backend()
-    use_pallas = be == "pallas" or (be == "auto" and jax.default_backend() == "tpu")
     if (
-        use_pallas
+        _use_pallas()
         and base.ndim == 2
         and ctx.num_limbs % 8 == 0
         and getattr(digits, "ndim", 1) == 1
@@ -215,9 +234,36 @@ def _mont_pow_shared_xla(base, digits, ctx, window=DEFAULT_WINDOW):
     return acc
 
 
-@functools.partial(jax.jit, static_argnames=("window",))
 def mont_pow(base, digits, ctx, window=DEFAULT_WINDOW):
-    """base^e with a per-element exponent (scalar-multiply path).
+    """base^e with per-element exponents (scalar-multiply / alignment path).
+
+    base: [..., L]; digits: [..., n_windows] matching leading dims. On TPU
+    the leading dims are flattened and the per-lane Pallas kernel runs the
+    whole windowed scan in VMEM; CPU and exotic ranks use the XLA scan.
+    """
+    if (
+        _use_pallas()
+        and ctx.num_limbs % 8 == 0
+        and base.ndim >= 2
+        and getattr(digits, "ndim", 0) == base.ndim
+        and base.shape[-1] == ctx.num_limbs
+    ):
+        from phe_tpu.ops import pallas_modexp
+
+        lead = base.shape[:-1]
+        out = pallas_modexp.mont_pow(
+            base.reshape((-1, base.shape[-1])),
+            digits.reshape((-1, digits.shape[-1])),
+            ctx,
+            window=window,
+        )
+        return out.reshape(lead + (base.shape[-1],))
+    return _mont_pow_xla(base, digits, ctx, window=window)
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def _mont_pow_xla(base, digits, ctx, window=DEFAULT_WINDOW):
+    """XLA scan formulation of the per-element-exponent windowed modexp.
 
     Args:
       base: [..., L] Montgomery-domain bases.

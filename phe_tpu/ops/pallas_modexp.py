@@ -217,3 +217,170 @@ def mont_pow_shared(base, digits, ctx, window=4, tb=LANES):
     """Row-major convenience wrapper: [B, L] in, [B, L] out."""
     out = mont_pow_shared_cols(base.T, digits, ctx, window=window, tb=tb)
     return out.T
+
+
+# -- single Montgomery multiply (homomorphic add / ciphertext product) -------
+
+
+def _mul_kernel(a_ref, b_ref, m_ref, mp_ref, out_ref, t_ref, w_ref):
+    L, TB = a_ref.shape
+    m = jnp.broadcast_to(m_ref[:, :], (L, TB))
+    mp = jnp.broadcast_to(mp_ref[:, :], (L, TB))
+
+    def write(v):
+        out_ref[:, :] = v
+
+    _mont_mul_into(write, a_ref, b_ref[:, :], m, mp, t_ref, w_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("tb",))
+def mont_mul_cols(a_cols, b_cols, ctx, tb=LANES):
+    """Batched Montgomery product a*b*R^-1 mod M over [L, B] columns.
+
+    One VMEM-resident multiply per batch tile: the reference's
+    ciphertext-add ``mulmod(c_a, c_b, n^2)`` (phe/paillier.py:705-719)
+    runs as this single kernel instead of an HBM-bound [B, L, L] einsum.
+    """
+    L, B = a_cols.shape
+    pad = (-B) % tb
+    if pad:
+        a_cols = jnp.pad(a_cols, ((0, 0), (0, pad)))
+        b_cols = jnp.pad(b_cols, ((0, 0), (0, pad)))
+    Bp = a_cols.shape[1]
+    out = pl.pallas_call(
+        _mul_kernel,
+        out_shape=jax.ShapeDtypeStruct((L, Bp), jnp.uint32),
+        grid=(Bp // tb,),
+        in_specs=[
+            pl.BlockSpec((L, tb), lambda i: (0, i)),
+            pl.BlockSpec((L, tb), lambda i: (0, i)),
+            pl.BlockSpec((L, 1), lambda i: (0, 0)),
+            pl.BlockSpec((L, 1), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((L, tb), lambda i: (0, i)),
+        scratch_shapes=[
+            pltpu.VMEM((2 * L, tb), jnp.uint32),
+            pltpu.VMEM((2 * L, tb), jnp.uint32),
+        ],
+        interpret=_interpret(),
+    )(a_cols, b_cols, ctx.m[:, None], ctx.m_prime[:, None])
+    return out[:, :B]
+
+
+def mont_mul(a, b, ctx, tb=LANES):
+    """Row-major convenience wrapper: [B, L] x [B, L] -> [B, L]."""
+    return mont_mul_cols(a.T, b.T, ctx, tb=tb).T
+
+
+# -- per-element exponents (scalar multiply / exponent alignment) ------------
+
+
+def _pow_vec_kernel(
+    digits_ref, base_ref, m_ref, mp_ref, one_ref, out_ref,
+    acc_ref, t_ref, w_ref, tab_ref, *, window,
+):
+    """Windowed modexp with a per-element (per-lane) exponent.
+
+    digits_ref: [n_windows, TB] int32 — each lane carries its own MSB-first
+    digit schedule. The table factor is selected lane-wise with a one-hot
+    sum over the 2**window entries: constant-time in the exponent and free
+    of gathers (the reference's pow() leaks exponent timing;
+    docs/caveats.rst ignores it, here uniformity falls out of SIMD).
+    """
+    L, TB = base_ref.shape
+    m = jnp.broadcast_to(m_ref[:, :], (L, TB))
+    mp = jnp.broadcast_to(mp_ref[:, :], (L, TB))
+    one = jnp.broadcast_to(one_ref[:, :], (L, TB)).astype(jnp.uint32)
+
+    K = 2**window
+    tab_ref[0] = one
+    tab_ref[1] = base_ref[:, :]
+
+    def build(k, _):
+        def write(v):
+            tab_ref[k] = v
+
+        acc_ref[:, :] = tab_ref[k - 1]
+        _mont_mul_into(write, acc_ref, base_ref[:, :], m, mp, t_ref, w_ref)
+        return 0
+
+    jax.lax.fori_loop(2, K, build, 0)
+
+    acc_ref[:, :] = one
+    n_windows = digits_ref.shape[0]
+
+    def acc_write(v):
+        acc_ref[:, :] = v
+
+    def step(wi, _):
+        for _ in range(window):
+            _mont_mul_into(
+                acc_write, acc_ref, acc_ref[:, :], m, mp, t_ref, w_ref
+            )
+        d = digits_ref[pl.ds(wi, 1), :]  # [1, TB]
+        factor = jnp.zeros((L, TB), jnp.uint32)
+        for k in range(K):
+            sel = (d == k).astype(jnp.uint32)  # [1, TB]
+            factor = factor + tab_ref[k] * sel
+        _mont_mul_into(acc_write, acc_ref, factor, m, mp, t_ref, w_ref)
+        return 0
+
+    jax.lax.fori_loop(0, n_windows, step, 0)
+    out_ref[:, :] = acc_ref[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("window", "tb"))
+def mont_pow_cols(base_cols, digits_cols, ctx, window=4, tb=LANES):
+    """Per-element-exponent windowed modexp over [L, B] columns.
+
+    digits_cols: int32[n_windows, B] MSB-first digit schedules (one column
+    per element). Padded lanes use the schedule of exponent 1.
+    """
+    L, B = base_cols.shape
+    if L % 8:
+        raise ValueError("limb count must be padded to a multiple of 8")
+    pad = (-B) % tb
+    if pad:
+        base_cols = jnp.pad(base_cols, ((0, 0), (0, pad)))
+        # exponent 1 schedule for pad lanes: all-zero windows then 1.
+        pad_digits = jnp.zeros((digits_cols.shape[0], pad), jnp.int32)
+        pad_digits = pad_digits.at[-1, :].set(1)
+        digits_cols = jnp.concatenate(
+            [jnp.asarray(digits_cols, jnp.int32), pad_digits], axis=1
+        )
+    Bp = base_cols.shape[1]
+    out = pl.pallas_call(
+        functools.partial(_pow_vec_kernel, window=window),
+        out_shape=jax.ShapeDtypeStruct((L, Bp), jnp.uint32),
+        grid=(Bp // tb,),
+        in_specs=[
+            pl.BlockSpec(
+                (digits_cols.shape[0], tb), lambda i: (0, i)
+            ),
+            pl.BlockSpec((L, tb), lambda i: (0, i)),
+            pl.BlockSpec((L, 1), lambda i: (0, 0)),
+            pl.BlockSpec((L, 1), lambda i: (0, 0)),
+            pl.BlockSpec((L, 1), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((L, tb), lambda i: (0, i)),
+        scratch_shapes=[
+            pltpu.VMEM((L, tb), jnp.uint32),
+            pltpu.VMEM((2 * L, tb), jnp.uint32),
+            pltpu.VMEM((2 * L, tb), jnp.uint32),
+            pltpu.VMEM((2**window, L, tb), jnp.uint32),
+        ],
+        interpret=_interpret(),
+    )(
+        jnp.asarray(digits_cols, jnp.int32),
+        base_cols,
+        ctx.m[:, None],
+        ctx.m_prime[:, None],
+        ctx.one[:, None],
+    )
+    return out[:, :B]
+
+
+def mont_pow(base, digits, ctx, window=4, tb=LANES):
+    """Row-major wrapper: base [B, L], digits [B, n_windows] -> [B, L]."""
+    out = mont_pow_cols(base.T, digits.T, ctx, window=window, tb=tb)
+    return out.T
