@@ -271,8 +271,8 @@ def _decrypt_dev(ct_mont, pub_ctx, pk):
     Replaces the reference's scalar raw_decrypt (phe/paillier.py:328-374)
     end to end: per half-modulus, c^(p-1) mod p^2 (shared-exponent
     Montgomery pow), the L function as an exact Hensel division
-    (L(x, p) = (x-1)/p = (x-1) * p^-1 mod 2^(15*Lh), exact because the
-    quotient is < p < 2^(15*Lh)), the hp/hq multiply mod p/q, and the CRT
+    (L(x, p) = (x-1)/p = (x-1) * p^-1 mod 2^(14*Lh), exact because the
+    quotient is < p < 2^(14*Lh)), the hp/hq multiply mod p/q, and the CRT
     recombination mp + p*((q + mq - mp) * p^-1 mod q) — all branch-free
     limb arithmetic in one program. pk is a PrivateDeviceConstants pytree.
     """
@@ -286,7 +286,7 @@ def _decrypt_dev(ct_mont, pub_ctx, pk):
         x = mg.mod_reduce(plain, ctx2, red)
         powed = mg.mont_pow_shared(mg.to_mont(x, ctx2), ddig, ctx2)
         xc = mg.export_canonical(mg.from_mont(powed, ctx2), ctx2)
-        # (x - 1) mod 2^(15*Lh): add (R_h - 1) and drop the top carry.
+        # (x - 1) mod 2^(14*Lh): add (R_h - 1) and drop the top carry.
         t = xc[..., :Lh]
         ones = jnp.full(t.shape, lm.LIMB_MASK, dtype=jnp.uint32)
         tm1 = lm.add(t, ones)  # == t - 1 (mod R_h), top carry dropped
@@ -473,8 +473,8 @@ class PrivateDeviceConstants(NamedTuple):
     dq_digits: jnp.ndarray
     ctx_hp: mg.MontgomeryContext  # mod p (half width)
     ctx_hq: mg.MontgomeryContext  # mod q
-    pinv2_p: jnp.ndarray  # p^-1 mod 2^(15*Lh) (Hensel exact-division inverse)
-    pinv2_q: jnp.ndarray  # q^-1 mod 2^(15*Lh)
+    pinv2_p: jnp.ndarray  # p^-1 mod 2^(14*Lh) (Hensel exact-division inverse)
+    pinv2_q: jnp.ndarray  # q^-1 mod 2^(14*Lh)
     hp_limbs: jnp.ndarray  # hp canonical [Lh]
     hq_limbs: jnp.ndarray
     pinvq_limbs: jnp.ndarray  # p^-1 mod q canonical [Lh]

@@ -1,4 +1,4 @@
-"""Batched fixed-width big-integer arithmetic in base-2^15 limbs on uint32 lanes.
+"""Batched fixed-width big-integer arithmetic in base-2^14 limbs on uint32 lanes.
 
 This is the device-side replacement for the reference's GMP backend
 (phe/util.py:38-64 — powmod/mulmod are the only hot primitives): instead of
@@ -9,28 +9,30 @@ Every function here is shape-polymorphic over leading (batch/group) dims.
 
 Representation and bounds
 =========================
-A big integer is ``sum(limb[i] << (15 * i))`` with limbs held *redundantly*:
-the invariant restored after every step is ``limb <= 2**15`` (one over the
-canonical maximum 2**15 - 1). That makes a **fixed three-pass carry** sound:
+A big integer is ``sum(limb[i] << (14 * i))`` with limbs held *redundantly*:
+the invariant restored after every step is ``limb <= 2**14`` (one over the
+canonical maximum 2**14 - 1). That makes a **fixed three-pass carry** sound:
 
-* products: operand limbs <= 2**15 give partial products <= 2**30 < 2**32;
+* products: operand limbs <= 2**14 give partial products <= 2**28 < 2**32;
 * schoolbook accumulation: an output slot receives at most 2L product
-  halves, each <= 2**15, so slots stay < 2L * 2**15 < 2**31 for L < 2**15;
-* carry pass 1 on slots < 2**31 leaves limbs < 2**15 + 2**16;
-* pass 2 carries are <= 4, leaving limbs <= 2**15 + 3;
-* pass 3 carries are <= 1, restoring limbs <= 2**15.
+  halves, each <= 2**14, so slots stay < 2L * 2**14 < 2**31 for L < 2**16;
+* carry pass 1 on slots < 2**31 leaves limbs < 2**14 + 2**17;
+* pass 2 carries are <= 9, leaving limbs <= 2**14 + 8;
+* pass 3 carries are <= 1, restoring limbs <= 2**14.
 
-Radix 2**15 (not 2**16) is what keeps products of two *redundant* limbs
-inside uint32; a 16-bit radix would need a full sequential normalisation
-between steps.
+A sub-16-bit radix is what keeps products of two *redundant* limbs inside
+uint32 (a 16-bit radix would need a full sequential normalisation between
+steps); 14 bits specifically makes every limb exactly two 7-bit digits,
+which is the exactness bound for the bf16 MXU matmuls in the Pallas REDC
+path (products < 2**14, f32-accumulated over <= 2**9.3 terms < 2**24).
 
 Carries out of the top limb are dropped by design: all callers bound the
 represented value below the array's capacity, and with non-negative limbs
-that forces the dropped carry to be zero (value < 2**(15*L) and
+that forces the dropped carry to be zero (value < 2**(14*L) and
 limb[L] >= 1 would contradict each other).
 
 Montgomery usage (phe_tpu.ops.montgomery): L = ceil(bits / 15) always gives
-the Montgomery radix R = 2**(15 L) at least 2**7 of headroom over the
+the Montgomery radix R = 2**(14 L) at least 2**7 of headroom over the
 modulus M, so the "no final subtraction" variant applies — chain values
 stay < 2M with no data-dependent branches inside modexp (which also closes
 the timing side channel the reference ignores). Normalisation to canonical
@@ -41,7 +43,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-LIMB_BITS = 15
+LIMB_BITS = 14
 LIMB_MASK = (1 << LIMB_BITS) - 1
 
 
@@ -100,7 +102,7 @@ def mul_full(a, b):
     2*min(La, Lb) halves of <= 2**15 each, staying under 2**31 for the one
     carry_fix at the end.
 
-    Requires value(a) * value(b) < 2**(15 * (La + Lb)) (all callers keep
+    Requires value(a) * value(b) < 2**(14 * (La + Lb)) (all callers keep
     values far below limb-array capacity).
     """
     nbatch = max(a.ndim, b.ndim) - 1
@@ -114,7 +116,7 @@ def mul_full(a, b):
 
 
 def mul_low(a, b, out_limbs):
-    """Low ``out_limbs`` limbs of a*b: the product mod 2**(15*out_limbs).
+    """Low ``out_limbs`` limbs of a*b: the product mod 2**(14*out_limbs).
 
     Used for the Montgomery quotient m = (T mod R) * M' mod R. Truncating
     the redundant full product keeps the value congruent mod R; the result
@@ -127,7 +129,7 @@ def mul_low(a, b, out_limbs):
 
 
 def shift_right_limbs_exact(x, nlimbs):
-    """Divide by R = 2**(15*nlimbs) when value(x) is an exact multiple of R.
+    """Divide by R = 2**(14*nlimbs) when value(x) is an exact multiple of R.
 
     In redundant form the low limbs' partial sum S_low is a multiple of R
     (Montgomery invariant) and < 2R (limbs <= 2**15), hence S_low is 0 or
@@ -183,7 +185,7 @@ def cond_sub(x, m_complement, m_width):
     Args:
       x: canonical limbs [..., m_width], value < 2M.
       m_complement: canonical limbs [m_width] (broadcastable), R - M.
-      m_width: number of limbs L with R = 2**(15 L).
+      m_width: number of limbs L with R = 2**(14 L).
     """
     nbatch = x.ndim - 1
     widen = [(0, 0)] * nbatch + [(0, 1)]

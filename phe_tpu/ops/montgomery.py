@@ -10,7 +10,7 @@ Design:
   packed into a ``MontgomeryContext`` pytree (a scalar-prefetch-style
   constant bundle);
 * the limb count L = ceil((bits(M) + 16) / 15) keeps the Montgomery radix
-  R = 2**(15 L) at least 2**16 above M, so the subtraction-free variant
+  R = 2**(14 L) at least 2**16 above M, so the subtraction-free variant
   holds: every chained value stays < 1.01 M (bound: REDC output
   <= T/R + (1+eps) M with T < 16 M^2 <= R M), and no data-dependent
   compare/subtract appears inside loops — uniform, constant-shape work
@@ -61,7 +61,7 @@ class MontgomeryContext(NamedTuple):
 
 
 def num_limbs_for_modulus(modulus_bits):
-    """L such that R = 2**(15 L) >= 2**16 * M for any M of modulus_bits.
+    """L such that R = 2**(14 L) >= 2**16 * M for any M of modulus_bits.
 
     Rounded up to a multiple of 8 (the uint32 sublane tile) so the
     column-major Pallas engine can place limbs on the sublane axis without
@@ -298,7 +298,7 @@ def _mont_pow_xla(base, digits, ctx, window=DEFAULT_WINDOW):
 class ReduceTable(NamedTuple):
     """Constants for reducing wide values mod M: powers beta^(L+j) mod M."""
 
-    powers: jnp.ndarray  # [K, L] canonical limbs of 2**(15*(L+j)) mod M
+    powers: jnp.ndarray  # [K, L] canonical limbs of 2**(14*(L+j)) mod M
 
     @property
     def extra_limbs(self):

@@ -8,16 +8,17 @@ from that packed tensor format. Conversion is vectorised through numpy bit
 unpacking so that batches of thousands of 4096-bit integers pack in
 milliseconds; nothing here runs in the device hot path.
 
-The limb radix is 2**15 (not 2**16): the device engine keeps limbs in a
-redundant carry-save form where a limb may temporarily hold values up to
-2**15 inclusive, and 15-bit radix guarantees every partial product and
-accumulator in the Montgomery pipeline fits uint32 with headroom (see
+The limb radix is 2**14: the device engine keeps limbs in a redundant
+carry-save form where a limb may temporarily hold values up to 2**14
+inclusive, a sub-16-bit radix guarantees every partial product and
+accumulator in the Montgomery pipeline fits uint32 with headroom, and 14
+bits = two exact 7-bit digits for the bf16 MXU REDC matmuls (see
 phe_tpu/ops/limb_math.py for the bound analysis).
 """
 
 import numpy as np
 
-LIMB_BITS = 15
+LIMB_BITS = 14
 LIMB_MASK = (1 << LIMB_BITS) - 1
 
 __all__ = [

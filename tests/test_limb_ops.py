@@ -82,7 +82,7 @@ class TestLimbPrimitives:
     def test_normalize_and_cond_sub(self):
         m = getprimeover(120) * getprimeover(120)
         L = mg.num_limbs_for_modulus(m.bit_length())
-        comp = jnp.asarray(hl.int_to_limbs((1 << (15 * L)) - m, L))
+        comp = jnp.asarray(hl.int_to_limbs((1 << (lm.LIMB_BITS * L)) - m, L))
         xs = [0, 1, m - 1, m, m + 1, 2 * m - 1]
         arr = lm.normalize(pack(xs, L))
         out = lm.cond_sub(arr, comp, L)

@@ -122,8 +122,9 @@ class TestLimbPacking:
     def test_redundant_limbs_exact(self):
         import numpy as np
 
-        arr = np.array([[2**15, 2**15, 5]], dtype=np.uint32)
-        expected = 2**15 + (2**15 << 15) + (5 << 30)
+        B = limbs.LIMB_BITS
+        arr = np.array([[2**B, 2**B, 5]], dtype=np.uint32)
+        expected = 2**B + (2**B << B) + (5 << (2 * B))
         assert limbs.limbs_to_ints(arr) == [expected]
 
     def test_overflow_raises(self):
