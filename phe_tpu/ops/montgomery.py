@@ -47,6 +47,14 @@ class MontgomeryContext(NamedTuple):
       r2: [L] limbs of R^2 mod M (to-Montgomery factor).
       one: [L] limbs of R mod M (Montgomery representation of 1).
       m_comp: [L] limbs of R - M (for branch-free conditional subtract).
+      w_mq: bf16 [2L, 2L] MXU REDC matrix for the Montgomery quotient, or
+        None. Column i holds the 7-bit block-order digits of
+        (2**w_i * M') mod R, where w_i is the weight of input digit i —
+        so ``w_mq @ digits(t_low)`` is t_low * M' mod R on the MXU,
+        exactly (digit products < 2**14, f32-accumulated over 2L <= 2**10
+        terms, staying inside the 2**24 f32-exact window).
+      w_m: bf16 [4L, 2L] companion matrix of 2**w_i * M (full product,
+        2L output limbs) for the q*M multiply-accumulate, or None.
     """
 
     m: jnp.ndarray
@@ -54,6 +62,8 @@ class MontgomeryContext(NamedTuple):
     r2: jnp.ndarray
     one: jnp.ndarray
     m_comp: jnp.ndarray
+    w_mq: jnp.ndarray = None
+    w_m: jnp.ndarray = None
 
     @property
     def num_limbs(self):
@@ -72,8 +82,49 @@ def num_limbs_for_modulus(modulus_bits):
     return -(-raw // 8) * 8
 
 
-def build_context(modulus, num_limbs=None):
-    """Host-side construction of a MontgomeryContext from a Python int."""
+def _block_digits(limb_rows):
+    """[B, L] 14-bit limbs -> [B, 2L] block-order 7-bit digits.
+
+    Digit column k < L is the low 7 bits of limb k (weight 2**(14k));
+    column L + k is the high 7 bits (weight 2**(14k + 7)).
+    """
+    return np.concatenate([limb_rows & 0x7F, limb_rows >> 7], axis=-1)
+
+
+def _build_redc_matrices(modulus, m_prime, num_limbs):
+    """bf16 constant matrices turning both REDC multiplies into matmuls.
+
+    The two inner REDC products have one *shared* operand each (M' and M,
+    properties of the key) — which is exactly the structure the MXU wants:
+    x * C = sum_i digit_i(x) * (2**w_i * C), a constant-matrix product
+    over x's 7-bit digits. Entries are < 2**7, inputs are <= 2**8
+    (redundant-limb high digits), so every f32-accumulated dot stays below
+    2**24 and the matmuls are exact integer arithmetic on the MXU.
+    """
+    L = num_limbs
+    R = 1 << (lm.LIMB_BITS * L)
+    weights = [lm.LIMB_BITS * i for i in range(L)] + [
+        lm.LIMB_BITS * i + 7 for i in range(L)
+    ]
+    cs_q = [(m_prime << w) % R for w in weights]
+    cs_m = [modulus << w for w in weights]
+    # rows: input digit i; cols: output digit k (block order) -> transpose
+    # so jnp.dot(w, digits[2L, TB]) yields output digits [rows, TB].
+    a_q = _block_digits(np.asarray(hl.ints_to_limbs(cs_q, L)))  # [2L, 2L]
+    a_m = _block_digits(np.asarray(hl.ints_to_limbs(cs_m, 2 * L)))  # [2L, 4L]
+    to_bf16 = lambda a: jnp.asarray(np.ascontiguousarray(a.T), jnp.bfloat16)
+    return to_bf16(a_q), to_bf16(a_m)
+
+
+def build_context(modulus, num_limbs=None, mxu=True):
+    """Host-side construction of a MontgomeryContext from a Python int.
+
+    mxu=True (the default; override with PHE_TPU_MXU=0) additionally packs
+    the constant REDC matrices so the Pallas kernels run both Montgomery
+    reduction products on the MXU.
+    """
+    import os
+
     if num_limbs is None:
         num_limbs = num_limbs_for_modulus(modulus.bit_length())
     R = 1 << (lm.LIMB_BITS * num_limbs)
@@ -81,12 +132,17 @@ def build_context(modulus, num_limbs=None):
         raise ValueError("num_limbs too small for subtraction-free Montgomery")
     m_prime = (-pow(modulus, -1, R)) % R
     pack = lambda v: jnp.asarray(hl.int_to_limbs(v, num_limbs))
+    w_mq = w_m = None
+    if mxu and num_limbs % 8 == 0 and os.environ.get("PHE_TPU_MXU", "1") != "0":
+        w_mq, w_m = _build_redc_matrices(modulus, m_prime, num_limbs)
     return MontgomeryContext(
         m=pack(modulus),
         m_prime=pack(m_prime),
         r2=pack(R * R % modulus),
         one=pack(R % modulus),
         m_comp=pack(R - modulus),
+        w_mq=w_mq,
+        w_m=w_m,
     )
 
 

@@ -29,6 +29,17 @@ Design (TPU-first, not a GMP translation):
 * **REDC fused into the accumulator**: the ``m_q * M`` product is
   multiply-accumulated straight into the wide product (slots < 2**26),
   saving a buffer and a full-width add.
+* **REDC on the MXU.** Both inner REDC products have a *key-constant*
+  operand (M' and M), so each is a constant-matrix product over the other
+  operand's 7-bit digits: ``q = W_M' @ digits(t_low)`` and
+  ``qM = W_M @ digits(q)`` run as bf16 matmuls with f32 accumulation —
+  exact integer arithmetic (products < 2**14 summed over 2L <= 2**10
+  terms stays inside f32's 2**24 window; see
+  montgomery._build_redc_matrices). That moves two of the three
+  schoolbook O(L^2) limb products per Montgomery multiply off the VPU
+  onto the systolic array; only the data-dependent ``a*b`` stays on the
+  VPU. Enabled whenever the context carries the matrices
+  (montgomery.build_context(mxu=True), the default).
 * Mutation happens only through scratch refs (Mosaic has no lowering for
   ``dynamic_update_slice``/``scatter`` on values).
 
@@ -91,22 +102,32 @@ def _mul_into(t_ref, a_ref, b, La, accumulate=False, fix=True):
         t_ref[0 : La + Lb, :] = _carry_fix_cols(t_ref[0 : La + Lb, :])
 
 
-def _mont_mul_into(out_write, a_ref, b, m, mp, t_ref, w_ref):
-    """out = REDC(a * b): Montgomery product via two VMEM scratch buffers.
+def _digits_bf16(x):
+    """[W, TB] limbs <= 2**14 -> [2W, TB] bf16 block-order 7-bit digits.
 
-    out_write: callable consuming the [L, TB] result (written via the
-      caller's ref so the result can land in the accumulator, the table, or
-      the kernel output without an extra copy).
-    a_ref: ref with the left operand in limbs [0:L] (<= 2**15 each).
-    b: [L, TB] value, right operand.
+    Rows [0:W] are the low 7 bits, rows [W:2W] the high bits (<= 2**7).
+    Both fit bf16 exactly (integers <= 256 are representable). The cast
+    goes through f32 (uint32 -> bf16 has no direct lowering).
     """
-    L, TB = b.shape
-    _mul_into(t_ref, a_ref, b, L)  # t = a*b, carry-fixed
-    # m_q = (t mod R) * M' mod R: low L limbs of t[0:L] * mp.
-    _mul_into(w_ref, t_ref, mp, L)  # w[0:2L] = t[0:L] * mp (only [0:L] used)
-    # t += m_q * M, accumulated in place (slots < 2**25 + 2**15 < 2**26).
-    _mul_into(t_ref, w_ref, m, L, accumulate=True, fix=False)
-    u = _carry_fix_cols(t_ref[0 : 2 * L, :])
+    d = jnp.concatenate([x & 0x7F, x >> 7], axis=0)
+    return d.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+
+
+def _undigit(d, W):
+    """f32 [2W, TB] block-order digit sums -> uint32 [W, TB] slots.
+
+    slot_k = d[k] + (d[W+k] << 7). Every REDC digit sum is
+    < 2L * 2**7 * 2**7 <= 2**23.3, so slots stay < 2**23.3 * 129 < 2**30.4,
+    inside the < 2**31 bound that makes the callers' three-pass carry fix
+    sound.
+    """
+    u = d.astype(jnp.int32).astype(jnp.uint32)
+    return u[:W] + (u[W:] << 7)
+
+
+def _redc_tail(t2l, L, TB, out_write):
+    """Shared REDC tail: t2l = t + q*M (slots < 2**31) -> out = t2l / R."""
+    u = _carry_fix_cols(t2l)
     low, high = u[:L], u[L:]
     # Exact /R: the low half's value is a multiple of R and < 2R, so the
     # carry into the high half is 1 iff any low limb is non-zero.
@@ -117,10 +138,55 @@ def _mont_mul_into(out_write, a_ref, b, m, mp, t_ref, w_ref):
     out_write(_carry_fix_cols(high))
 
 
-def _pow_kernel(
-    digits_ref, base_ref, m_ref, mp_ref, one_ref, out_ref,
-    acc_ref, t_ref, w_ref, tab_ref, *, window,
-):
+def _mont_mul_into(out_write, a_ref, b, m, mp, t_ref, w_ref, wq=None, wm=None):
+    """out = REDC(a * b): Montgomery product via two VMEM scratch buffers.
+
+    out_write: callable consuming the [L, TB] result (written via the
+      caller's ref so the result can land in the accumulator, the table, or
+      the kernel output without an extra copy).
+    a_ref: ref with the left operand in limbs [0:L] (<= 2**15 each).
+    b: [L, TB] value, right operand.
+    wq, wm: optional bf16 REDC constant matrices ([2L, 2L] and [4L, 2L],
+      montgomery._build_redc_matrices). When present, both REDC products
+      run as exact MXU matmuls over 7-bit digits; otherwise the VPU
+      schoolbook loops are used.
+    """
+    L, TB = b.shape
+    _mul_into(t_ref, a_ref, b, L)  # t = a*b, carry-fixed
+    if wq is not None:
+        # q = t_low * M' mod R on the MXU: constant-matrix product over
+        # t_low's 7-bit digits, f32-exact (sums < 2L * 2**14 < 2**24).
+        qd = jax.lax.dot_general(
+            wq,
+            _digits_bf16(t_ref[0:L, :]),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [2L, TB]
+        q = _carry_fix_cols(_undigit(qd, L))  # [L, TB] limbs <= 2**14, = q mod R
+        # q*M on the MXU: [4L, 2L] @ digits(q) -> 2L limbs of the product.
+        pd = jax.lax.dot_general(
+            wm,
+            _digits_bf16(q),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [4L, TB]
+        t2l = t_ref[0 : 2 * L, :] + _undigit(pd, 2 * L)
+        _redc_tail(t2l, L, TB, out_write)
+        return
+    # m_q = (t mod R) * M' mod R: low L limbs of t[0:L] * mp.
+    _mul_into(w_ref, t_ref, mp, L)  # w[0:2L] = t[0:L] * mp (only [0:L] used)
+    # t += m_q * M, accumulated in place (slots < 2**25 + 2**15 < 2**26).
+    _mul_into(t_ref, w_ref, m, L, accumulate=True, fix=False)
+    _redc_tail(t_ref[0 : 2 * L, :], L, TB, out_write)
+
+
+def _pow_kernel(digits_ref, base_ref, m_ref, mp_ref, one_ref, *rest, window, mxu):
+    if mxu:
+        wq_ref, wm_ref, out_ref, acc_ref, t_ref, tab_ref = rest
+        w_ref, wq, wm = None, wq_ref[:, :], wm_ref[:, :]
+    else:
+        out_ref, acc_ref, t_ref, w_ref, tab_ref = rest
+        wq = wm = None
     L, TB = base_ref.shape
     m = jnp.broadcast_to(m_ref[:, :], (L, TB))
     mp = jnp.broadcast_to(mp_ref[:, :], (L, TB))
@@ -138,7 +204,7 @@ def _pow_kernel(
         # tab[k] = tab[k-1] * base; acc_ref holds tab[k-1] as the
         # dynamically-indexed operand.
         acc_ref[:, :] = tab_ref[k - 1]
-        _mont_mul_into(write, acc_ref, base_ref[:, :], m, mp, t_ref, w_ref)
+        _mont_mul_into(write, acc_ref, base_ref[:, :], m, mp, t_ref, w_ref, wq, wm)
         return 0
 
     jax.lax.fori_loop(2, K, build, 0)
@@ -149,16 +215,19 @@ def _pow_kernel(
     def acc_write(v):
         acc_ref[:, :] = v
 
-    def step(wi, _):
-        for _ in range(window):
-            _mont_mul_into(
-                acc_write, acc_ref, acc_ref[:, :], m, mp, t_ref, w_ref
-            )
+    # One flat loop of (window + 1) multiplies per exponent window — j <
+    # window is a squaring, j == window multiplies in the table factor.
+    # A single _mont_mul_into instance in the loop body keeps Mosaic's
+    # scoped-VMEM footprint at one multiply's worth of temporaries (the
+    # unrolled form OOMs the 16M scoped limit with the MXU temporaries).
+    def step(i, _):
+        wi, j = i // (window + 1), i % (window + 1)
         factor = tab_ref[digits_ref[wi]]
-        _mont_mul_into(acc_write, acc_ref, factor, m, mp, t_ref, w_ref)
+        b = jnp.where(j < window, acc_ref[:, :], factor)
+        _mont_mul_into(acc_write, acc_ref, b, m, mp, t_ref, w_ref, wq, wm)
         return 0
 
-    jax.lax.fori_loop(0, n_windows, step, 0)
+    jax.lax.fori_loop(0, n_windows * (window + 1), step, 0)
     out_ref[:, :] = acc_ref[:, :]
 
 
@@ -181,35 +250,40 @@ def mont_pow_shared_cols(base_cols, digits, ctx, window=4, tb=LANES):
     if pad:
         base_cols = jnp.pad(base_cols, ((0, 0), (0, pad)))
     Bp = base_cols.shape[1]
+    mxu = ctx.w_mq is not None
+    in_specs = [
+        pl.BlockSpec((L, tb), lambda i, _: (0, i)),
+        pl.BlockSpec((L, 1), lambda i, _: (0, 0)),
+        pl.BlockSpec((L, 1), lambda i, _: (0, 0)),
+        pl.BlockSpec((L, 1), lambda i, _: (0, 0)),
+    ]
+    inputs = [base_cols, ctx.m[:, None], ctx.m_prime[:, None], ctx.one[:, None]]
+    scratch = [
+        pltpu.VMEM((L, tb), jnp.uint32),  # acc
+        pltpu.VMEM((2 * L, tb), jnp.uint32),  # wide product
+    ]
+    if mxu:
+        in_specs += [
+            pl.BlockSpec((2 * L, 2 * L), lambda i, _: (0, 0)),
+            pl.BlockSpec((4 * L, 2 * L), lambda i, _: (0, 0)),
+        ]
+        inputs += [ctx.w_mq, ctx.w_m]
+    else:
+        scratch.append(pltpu.VMEM((2 * L, tb), jnp.uint32))  # m_q scratch
+    scratch.append(pltpu.VMEM((2**window, L, tb), jnp.uint32))  # window table
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(Bp // tb,),
-        in_specs=[
-            pl.BlockSpec((L, tb), lambda i, _: (0, i)),
-            pl.BlockSpec((L, 1), lambda i, _: (0, 0)),
-            pl.BlockSpec((L, 1), lambda i, _: (0, 0)),
-            pl.BlockSpec((L, 1), lambda i, _: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((L, tb), lambda i, _: (0, i)),
-        scratch_shapes=[
-            pltpu.VMEM((L, tb), jnp.uint32),  # acc
-            pltpu.VMEM((2 * L, tb), jnp.uint32),  # wide product
-            pltpu.VMEM((2 * L, tb), jnp.uint32),  # m_q scratch
-            pltpu.VMEM((2**window, L, tb), jnp.uint32),  # window table
-        ],
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
-        functools.partial(_pow_kernel, window=window),
+        functools.partial(_pow_kernel, window=window, mxu=mxu),
         out_shape=jax.ShapeDtypeStruct((L, Bp), jnp.uint32),
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(
-        jnp.asarray(digits, jnp.int32),
-        base_cols,
-        ctx.m[:, None],
-        ctx.m_prime[:, None],
-        ctx.one[:, None],
-    )
+    )(jnp.asarray(digits, jnp.int32), *inputs)
     return out[:, :B]
 
 
@@ -222,7 +296,13 @@ def mont_pow_shared(base, digits, ctx, window=4, tb=LANES):
 # -- single Montgomery multiply (homomorphic add / ciphertext product) -------
 
 
-def _mul_kernel(a_ref, b_ref, m_ref, mp_ref, out_ref, t_ref, w_ref):
+def _mul_kernel(a_ref, b_ref, m_ref, mp_ref, *rest, mxu):
+    if mxu:
+        wq_ref, wm_ref, out_ref, t_ref = rest
+        w_ref, wq, wm = None, wq_ref[:, :], wm_ref[:, :]
+    else:
+        out_ref, t_ref, w_ref = rest
+        wq = wm = None
     L, TB = a_ref.shape
     m = jnp.broadcast_to(m_ref[:, :], (L, TB))
     mp = jnp.broadcast_to(mp_ref[:, :], (L, TB))
@@ -230,7 +310,7 @@ def _mul_kernel(a_ref, b_ref, m_ref, mp_ref, out_ref, t_ref, w_ref):
     def write(v):
         out_ref[:, :] = v
 
-    _mont_mul_into(write, a_ref, b_ref[:, :], m, mp, t_ref, w_ref)
+    _mont_mul_into(write, a_ref, b_ref[:, :], m, mp, t_ref, w_ref, wq, wm)
 
 
 @functools.partial(jax.jit, static_argnames=("tb",))
@@ -247,23 +327,32 @@ def mont_mul_cols(a_cols, b_cols, ctx, tb=LANES):
         a_cols = jnp.pad(a_cols, ((0, 0), (0, pad)))
         b_cols = jnp.pad(b_cols, ((0, 0), (0, pad)))
     Bp = a_cols.shape[1]
+    mxu = ctx.w_mq is not None
+    in_specs = [
+        pl.BlockSpec((L, tb), lambda i: (0, i)),
+        pl.BlockSpec((L, tb), lambda i: (0, i)),
+        pl.BlockSpec((L, 1), lambda i: (0, 0)),
+        pl.BlockSpec((L, 1), lambda i: (0, 0)),
+    ]
+    inputs = [a_cols, b_cols, ctx.m[:, None], ctx.m_prime[:, None]]
+    scratch = [pltpu.VMEM((2 * L, tb), jnp.uint32)]
+    if mxu:
+        in_specs += [
+            pl.BlockSpec((2 * L, 2 * L), lambda i: (0, 0)),
+            pl.BlockSpec((4 * L, 2 * L), lambda i: (0, 0)),
+        ]
+        inputs += [ctx.w_mq, ctx.w_m]
+    else:
+        scratch.append(pltpu.VMEM((2 * L, tb), jnp.uint32))
     out = pl.pallas_call(
-        _mul_kernel,
+        functools.partial(_mul_kernel, mxu=mxu),
         out_shape=jax.ShapeDtypeStruct((L, Bp), jnp.uint32),
         grid=(Bp // tb,),
-        in_specs=[
-            pl.BlockSpec((L, tb), lambda i: (0, i)),
-            pl.BlockSpec((L, tb), lambda i: (0, i)),
-            pl.BlockSpec((L, 1), lambda i: (0, 0)),
-            pl.BlockSpec((L, 1), lambda i: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((L, tb), lambda i: (0, i)),
-        scratch_shapes=[
-            pltpu.VMEM((2 * L, tb), jnp.uint32),
-            pltpu.VMEM((2 * L, tb), jnp.uint32),
-        ],
+        scratch_shapes=scratch,
         interpret=_interpret(),
-    )(a_cols, b_cols, ctx.m[:, None], ctx.m_prime[:, None])
+    )(*inputs)
     return out[:, :B]
 
 
@@ -276,8 +365,7 @@ def mont_mul(a, b, ctx, tb=LANES):
 
 
 def _pow_vec_kernel(
-    digits_ref, base_ref, m_ref, mp_ref, one_ref, out_ref,
-    acc_ref, t_ref, w_ref, tab_ref, *, window,
+    digits_ref, base_ref, m_ref, mp_ref, one_ref, *rest, window, mxu,
 ):
     """Windowed modexp with a per-element (per-lane) exponent.
 
@@ -287,6 +375,12 @@ def _pow_vec_kernel(
     of gathers (the reference's pow() leaks exponent timing;
     docs/caveats.rst ignores it, here uniformity falls out of SIMD).
     """
+    if mxu:
+        wq_ref, wm_ref, out_ref, acc_ref, t_ref, tab_ref = rest
+        w_ref, wq, wm = None, wq_ref[:, :], wm_ref[:, :]
+    else:
+        out_ref, acc_ref, t_ref, w_ref, tab_ref = rest
+        wq = wm = None
     L, TB = base_ref.shape
     m = jnp.broadcast_to(m_ref[:, :], (L, TB))
     mp = jnp.broadcast_to(mp_ref[:, :], (L, TB))
@@ -301,7 +395,7 @@ def _pow_vec_kernel(
             tab_ref[k] = v
 
         acc_ref[:, :] = tab_ref[k - 1]
-        _mont_mul_into(write, acc_ref, base_ref[:, :], m, mp, t_ref, w_ref)
+        _mont_mul_into(write, acc_ref, base_ref[:, :], m, mp, t_ref, w_ref, wq, wm)
         return 0
 
     jax.lax.fori_loop(2, K, build, 0)
@@ -312,20 +406,20 @@ def _pow_vec_kernel(
     def acc_write(v):
         acc_ref[:, :] = v
 
-    def step(wi, _):
-        for _ in range(window):
-            _mont_mul_into(
-                acc_write, acc_ref, acc_ref[:, :], m, mp, t_ref, w_ref
-            )
+    # Flat (window + 1)-multiply loop as in _pow_kernel: one multiply
+    # instance bounds the scoped-VMEM temporaries.
+    def step(i, _):
+        wi, j = i // (window + 1), i % (window + 1)
         d = digits_ref[pl.ds(wi, 1), :]  # [1, TB]
         factor = jnp.zeros((L, TB), jnp.uint32)
         for k in range(K):
             sel = (d == k).astype(jnp.uint32)  # [1, TB]
             factor = factor + tab_ref[k] * sel
-        _mont_mul_into(acc_write, acc_ref, factor, m, mp, t_ref, w_ref)
+        b = jnp.where(j < window, acc_ref[:, :], factor)
+        _mont_mul_into(acc_write, acc_ref, b, m, mp, t_ref, w_ref, wq, wm)
         return 0
 
-    jax.lax.fori_loop(0, n_windows, step, 0)
+    jax.lax.fori_loop(0, n_windows * (window + 1), step, 0)
     out_ref[:, :] = acc_ref[:, :]
 
 
@@ -349,34 +443,43 @@ def mont_pow_cols(base_cols, digits_cols, ctx, window=4, tb=LANES):
             [jnp.asarray(digits_cols, jnp.int32), pad_digits], axis=1
         )
     Bp = base_cols.shape[1]
-    out = pl.pallas_call(
-        functools.partial(_pow_vec_kernel, window=window),
-        out_shape=jax.ShapeDtypeStruct((L, Bp), jnp.uint32),
-        grid=(Bp // tb,),
-        in_specs=[
-            pl.BlockSpec(
-                (digits_cols.shape[0], tb), lambda i: (0, i)
-            ),
-            pl.BlockSpec((L, tb), lambda i: (0, i)),
-            pl.BlockSpec((L, 1), lambda i: (0, 0)),
-            pl.BlockSpec((L, 1), lambda i: (0, 0)),
-            pl.BlockSpec((L, 1), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((L, tb), lambda i: (0, i)),
-        scratch_shapes=[
-            pltpu.VMEM((L, tb), jnp.uint32),
-            pltpu.VMEM((2 * L, tb), jnp.uint32),
-            pltpu.VMEM((2 * L, tb), jnp.uint32),
-            pltpu.VMEM((2**window, L, tb), jnp.uint32),
-        ],
-        interpret=_interpret(),
-    )(
+    mxu = ctx.w_mq is not None
+    in_specs = [
+        pl.BlockSpec((digits_cols.shape[0], tb), lambda i: (0, i)),
+        pl.BlockSpec((L, tb), lambda i: (0, i)),
+        pl.BlockSpec((L, 1), lambda i: (0, 0)),
+        pl.BlockSpec((L, 1), lambda i: (0, 0)),
+        pl.BlockSpec((L, 1), lambda i: (0, 0)),
+    ]
+    inputs = [
         jnp.asarray(digits_cols, jnp.int32),
         base_cols,
         ctx.m[:, None],
         ctx.m_prime[:, None],
         ctx.one[:, None],
-    )
+    ]
+    scratch = [
+        pltpu.VMEM((L, tb), jnp.uint32),
+        pltpu.VMEM((2 * L, tb), jnp.uint32),
+    ]
+    if mxu:
+        in_specs += [
+            pl.BlockSpec((2 * L, 2 * L), lambda i: (0, 0)),
+            pl.BlockSpec((4 * L, 2 * L), lambda i: (0, 0)),
+        ]
+        inputs += [ctx.w_mq, ctx.w_m]
+    else:
+        scratch.append(pltpu.VMEM((2 * L, tb), jnp.uint32))
+    scratch.append(pltpu.VMEM((2**window, L, tb), jnp.uint32))
+    out = pl.pallas_call(
+        functools.partial(_pow_vec_kernel, window=window, mxu=mxu),
+        out_shape=jax.ShapeDtypeStruct((L, Bp), jnp.uint32),
+        grid=(Bp // tb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((L, tb), lambda i: (0, i)),
+        scratch_shapes=scratch,
+        interpret=_interpret(),
+    )(*inputs)
     return out[:, :B]
 
 
