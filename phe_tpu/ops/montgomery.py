@@ -97,9 +97,11 @@ def _build_redc_matrices(modulus, m_prime, num_limbs):
     The two inner REDC products have one *shared* operand each (M' and M,
     properties of the key) — which is exactly the structure the MXU wants:
     x * C = sum_i digit_i(x) * (2**w_i * C), a constant-matrix product
-    over x's 7-bit digits. Entries are < 2**7, inputs are <= 2**8
-    (redundant-limb high digits), so every f32-accumulated dot stays below
-    2**24 and the matmuls are exact integer arithmetic on the MXU.
+    over x's 7-bit digits. Entries are <= 127 and inputs are <= 128
+    (redundant limbs can hit 2**14 exactly, so the high digit reaches 128
+    — which is why int8 operands are NOT safe here but bf16, exact for
+    integers <= 256, is), so every f32-accumulated dot stays below 2**24
+    and the matmuls are exact integer arithmetic on the MXU.
     """
     L = num_limbs
     R = 1 << (lm.LIMB_BITS * L)
