@@ -119,9 +119,9 @@ def _bytes_to_ints(rows):
 
 
 @jax.jit
-def _encrypt_dev(m, r, n_limbs, n_digits, ctx):
+def _encrypt_dev(m, r, n_limbs, nr2, n_digits, ctx):
     """Fused fresh encryption: (n*m + 1) * r^n mod n^2, Montgomery form."""
-    nude = _nude_raw(m, n_limbs, ctx)
+    nude = _nude_raw(m, n_limbs, nr2, ctx)
     obf = mg.mont_pow_shared(mg.to_mont(r, ctx), n_digits, ctx)
     return mg.mont_mul(nude, obf, ctx)
 
@@ -134,12 +134,25 @@ def _obfuscate_dev(mont, r, n_digits, ctx):
 
 
 @jax.jit
-def _add_encoded_dev(mont, m, n_limbs, ctx):
+def _add_encoded_dev(mont, m, n_limbs, nr2, ctx):
     """Fused scalar add: ct * (n*m + 1) mod n^2 (phe/paillier.py:673-675)."""
-    return mg.mont_mul(mont, _nude_raw(m, n_limbs, ctx), ctx)
+    return mg.mont_mul(mont, _nude_raw(m, n_limbs, nr2, ctx), ctx)
 
 
-def _nude_raw(m, n_limbs, ctx):
+def _nude_raw(m, n_limbs, nr2, ctx):
+    """(n*m + 1) in Montgomery form for encoded residues m < n.
+
+    On the TPU path: one shared-operand Pallas Montgomery multiply by the
+    precomputed constant nr2 = n*R^2 mod n^2 (m*nr2*R^-1 = n*m*R), then an
+    elementwise add of R mod n^2 — no [B, Ln, Ln] outer product, no extra
+    to_mont. The XLA fallback keeps the direct formulation.
+    """
+    if mg._use_pallas() and m.ndim == 2 and ctx.num_limbs % 8 == 0:
+        pad = ctx.num_limbs - m.shape[-1]
+        m_pad = jnp.pad(m, [(0, 0)] * (m.ndim - 1) + [(0, pad)])
+        prod = mg.mont_mul_const(m_pad, nr2, ctx)  # n*m*R mod n^2, < 1.01 M
+        one = jnp.broadcast_to(ctx.one, prod.shape).astype(prod.dtype)
+        return lm.add(prod, one)  # value < 2.01 M: fine as a mont_mul input
     nm = lm.mul_full(m, jnp.broadcast_to(n_limbs, m.shape))
     nm1 = lm.carry_fix(nm.at[..., 0].add(1))
     pad = ctx.num_limbs - nm1.shape[-1]
@@ -220,10 +233,10 @@ def _add_encrypted_aligned_dev(a_mont, da, b_mont, db, ctx):
 
 
 @jax.jit
-def _add_scalars_aligned_dev(a_mont, da, m, n_limbs, ctx):
+def _add_scalars_aligned_dev(a_mont, da, m, n_limbs, nr2, ctx):
     """Fused E(a)+b: alignment pow then multiply by the unblinded nude."""
     a2 = mg.mont_pow(a_mont, da, ctx)
-    return mg.mont_mul(a2, _nude_raw(m, n_limbs, ctx), ctx)
+    return mg.mont_mul(a2, _nude_raw(m, n_limbs, nr2, ctx), ctx)
 
 
 @jax.jit
@@ -344,6 +357,13 @@ class PublicDeviceContext:
         self.n_limbs = jnp.asarray(hl.int_to_limbs(n, self.Ln))
         # Digit schedule of the public exponent n (obfuscator r^n).
         self.n_digits = jnp.asarray(mg.exponent_digits(n, self.n_bits))
+        # n * R^2 mod n^2: shared operand turning the (n*m + 1) encryption
+        # prologue into one Montgomery multiply (see _nude_raw).
+        R = 1 << (lm.LIMB_BITS * self.L)
+        nsq = public_key.nsquare
+        self.nr2_limbs = jnp.asarray(
+            hl.int_to_limbs(n * (R * R % nsq) % nsq, self.L)
+        )
         # Short-exponent obfuscation state (built lazily by obfuscator_pool).
         self._h_mont = None
 
@@ -387,7 +407,7 @@ class PublicDeviceContext:
         identical — so the batch path needs no data-dependent branch.
         """
         return _nude_encrypt_dev(self.pack_messages(encodings),
-                                 self.n_limbs, self.ctx)
+                                 self.n_limbs, self.nr2_limbs, self.ctx)
 
     def random_r_limbs(self, count, r_values=None):
         """[Bp, L] packed uniform r < n from the system CSPRNG.
@@ -407,6 +427,7 @@ class PublicDeviceContext:
             self.pack_messages(encodings),
             self.random_r_limbs(len(encodings), r_values),
             self.n_limbs,
+            self.nr2_limbs,
             self.n_digits,
             self.ctx,
         )
@@ -458,8 +479,8 @@ class PublicDeviceContext:
 
 
 @jax.jit
-def _nude_encrypt_dev(m, n_limbs, ctx):
-    return _nude_raw(m, n_limbs, ctx)
+def _nude_encrypt_dev(m, n_limbs, nr2, ctx):
+    return _nude_raw(m, n_limbs, nr2, ctx)
 
 
 class PrivateDeviceConstants(NamedTuple):
@@ -790,10 +811,13 @@ class EncryptedBatch:
             pad_rows=self.mont.shape[0],
         )
         if (self.exponents == target).all():
-            mont = _add_encoded_dev(self.mont, m, dc.n_limbs, dc.ctx)
+            mont = _add_encoded_dev(
+                self.mont, m, dc.n_limbs, dc.nr2_limbs, dc.ctx
+            )
         else:
             mont = _add_scalars_aligned_dev(
-                self.mont, self._align_digits(target), m, dc.n_limbs, dc.ctx
+                self.mont, self._align_digits(target), m, dc.n_limbs,
+                dc.nr2_limbs, dc.ctx
             )
         return EncryptedBatch(self.public_key, mont, target, False)
 

@@ -47,13 +47,12 @@ class MontgomeryContext(NamedTuple):
       r2: [L] limbs of R^2 mod M (to-Montgomery factor).
       one: [L] limbs of R mod M (Montgomery representation of 1).
       m_comp: [L] limbs of R - M (for branch-free conditional subtract).
-      w_mq: bf16 [2L, 2L] MXU REDC matrix for the Montgomery quotient, or
+      w_mq: uint8 [2L, 2L] MXU REDC matrix for the Montgomery quotient, or
         None. Column i holds the 7-bit block-order digits of
         (2**w_i * M') mod R, where w_i is the weight of input digit i —
         so ``w_mq @ digits(t_low)`` is t_low * M' mod R on the MXU,
-        exactly (digit products < 2**14, f32-accumulated over 2L <= 2**10
-        terms, staying inside the 2**24 f32-exact window).
-      w_m: bf16 [4L, 2L] companion matrix of 2**w_i * M (full product,
+        exactly (8-bit operands, int32 accumulation).
+      w_m: uint8 [4L, 2L] companion matrix of 2**w_i * M (full product,
         2L output limbs) for the q*M multiply-accumulate, or None.
     """
 
@@ -92,16 +91,16 @@ def _block_digits(limb_rows):
 
 
 def _build_redc_matrices(modulus, m_prime, num_limbs):
-    """bf16 constant matrices turning both REDC multiplies into matmuls.
+    """uint8 constant matrices turning both REDC multiplies into matmuls.
 
     The two inner REDC products have one *shared* operand each (M' and M,
     properties of the key) — which is exactly the structure the MXU wants:
     x * C = sum_i digit_i(x) * (2**w_i * C), a constant-matrix product
     over x's 7-bit digits. Entries are <= 127 and inputs are <= 128
-    (redundant limbs can hit 2**14 exactly, so the high digit reaches 128
-    — which is why int8 operands are NOT safe here but bf16, exact for
-    integers <= 256, is), so every f32-accumulated dot stays below 2**24
-    and the matmuls are exact integer arithmetic on the MXU.
+    (redundant limbs can hit 2**14 exactly, so the high digit reaches 128,
+    which overflows int8 but not uint8). The MXU runs 8-bit operands at
+    ~1.5x the bf16 rate and accumulates into int32 — exact for any sum
+    here (< 2L * 2**15 <= 2**25), with no float conversions on the VPU.
     """
     L = num_limbs
     R = 1 << (lm.LIMB_BITS * L)
@@ -114,8 +113,8 @@ def _build_redc_matrices(modulus, m_prime, num_limbs):
     # so jnp.dot(w, digits[2L, TB]) yields output digits [rows, TB].
     a_q = _block_digits(np.asarray(hl.ints_to_limbs(cs_q, L)))  # [2L, 2L]
     a_m = _block_digits(np.asarray(hl.ints_to_limbs(cs_m, 2 * L)))  # [2L, 4L]
-    to_bf16 = lambda a: jnp.asarray(np.ascontiguousarray(a.T), jnp.bfloat16)
-    return to_bf16(a_q), to_bf16(a_m)
+    to_u8 = lambda a: jnp.asarray(np.ascontiguousarray(a.T).astype(np.uint8))
+    return to_u8(a_q), to_u8(a_m)
 
 
 def build_context(modulus, num_limbs=None, mxu=True):
@@ -188,22 +187,55 @@ def mont_mul(a, b, ctx):
     return redc(lm.mul_full(a, b), ctx)
 
 
+def mont_mul_const(a, b_limbs, ctx):
+    """Montgomery product against one shared operand: a*b*R^-1 mod M.
+
+    a: [..., L]; b_limbs: [L] limbs shared across the batch. On TPU, 2D
+    inputs run in the VMEM-resident Pallas kernel; otherwise the XLA
+    broadcast formulation.
+    """
+    if (
+        _use_pallas()
+        and a.ndim == 2
+        and ctx.num_limbs % 8 == 0
+        and a.shape[-1] == ctx.num_limbs
+    ):
+        from phe_tpu.ops import pallas_modexp
+
+        return pallas_modexp.mont_mul_const(a, b_limbs, ctx)
+    return redc(
+        lm.mul_full(a, jnp.broadcast_to(b_limbs, a.shape[:-1] + b_limbs.shape)),
+        ctx,
+    )
+
+
 def to_mont(x, ctx):
     """Enter the Montgomery domain: x -> x*R mod M.
 
     Accepts inputs up to L+1 limbs wide with value < 2**8 * R (the
     mod_reduce output bound): the REDC output is then < 2**8 * M + 1.01 M,
-    far below beta^L, so truncating back to L limbs is exact.
+    far below beta^L, so truncating back to L limbs is exact. Exactly
+    L-wide inputs take the shared-operand kernel path (x * R^2 * R^-1).
     """
     L = ctx.num_limbs
+    if x.shape[-1] == L:
+        return mont_mul_const(x, ctx.r2, ctx)
     out = redc(lm.mul_full(x, jnp.broadcast_to(ctx.r2, x.shape[:-1] + (L,))), ctx)
     return out[..., :L]
 
 
 def from_mont(x, ctx):
-    """Leave the Montgomery domain: x*R -> x mod M (redundant, < 1.01 M)."""
+    """Leave the Montgomery domain: x*R -> x mod M (redundant, < 1.01 M).
+
+    REDC(x * 1): on TPU this is the shared-operand kernel with b = 1; the
+    XLA fallback pads to 2L and reduces (identical value).
+    """
+    L = ctx.num_limbs
+    if _use_pallas() and x.ndim == 2 and L % 8 == 0 and x.shape[-1] == L:
+        one_int = jnp.zeros((L,), jnp.uint32).at[0].set(1)
+        return mont_mul_const(x, one_int, ctx)
     nbatch = x.ndim - 1
-    t = jnp.pad(x, [(0, 0)] * nbatch + [(0, ctx.num_limbs)])
+    t = jnp.pad(x, [(0, 0)] * nbatch + [(0, L)])
     return redc(t, ctx)
 
 

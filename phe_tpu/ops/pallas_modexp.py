@@ -32,10 +32,8 @@ Design (TPU-first, not a GMP translation):
 * **REDC on the MXU.** Both inner REDC products have a *key-constant*
   operand (M' and M), so each is a constant-matrix product over the other
   operand's 7-bit digits: ``q = W_M' @ digits(t_low)`` and
-  ``qM = W_M @ digits(q)`` run as bf16 matmuls with f32 accumulation —
-  exact integer arithmetic (products < 2**14 summed over 2L <= 2**10
-  terms stays inside f32's 2**24 window; see
-  montgomery._build_redc_matrices). That moves two of the three
+  ``qM = W_M @ digits(q)`` run as uint8 matmuls with exact int32
+  accumulation (see montgomery._build_redc_matrices). That moves two of the three
   schoolbook O(L^2) limb products per Montgomery multiply off the VPU
   onto the systolic array; only the data-dependent ``a*b`` stays on the
   VPU. Enabled whenever the context carries the matrices
@@ -113,26 +111,25 @@ def _mul_into(t_ref, a_ref, b, La, accumulate=False, fix=True):
         t_ref[0 : La + Lb, :] = _carry_fix_cols(t_ref[0 : La + Lb, :])
 
 
-def _digits_bf16(x):
-    """[W, TB] limbs <= 2**14 -> [2W, TB] bf16 block-order 7-bit digits.
+def _digits_u8(x):
+    """[W, TB] limbs <= 2**14 -> [2W, TB] uint8 block-order 7-bit digits.
 
-    Rows [0:W] are the low 7 bits, rows [W:2W] the high bits (<= 2**7).
-    Both fit bf16 exactly (integers <= 256 are representable). The cast
-    goes through f32 (uint32 -> bf16 has no direct lowering).
+    Rows [0:W] are the low 7 bits, rows [W:2W] the high bits (<= 2**7 —
+    redundant limbs can hit 2**14, so 128 must be representable: uint8
+    is, int8 is not).
     """
-    d = jnp.concatenate([x & 0x7F, x >> 7], axis=0)
-    return d.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+    return jnp.concatenate([x & 0x7F, x >> 7], axis=0).astype(jnp.uint8)
 
 
 def _undigit(d, W):
-    """f32 [2W, TB] block-order digit sums -> uint32 [W, TB] slots.
+    """int32 [2W, TB] block-order digit sums -> uint32 [W, TB] slots.
 
     slot_k = d[k] + (d[W+k] << 7). Every REDC digit sum is
     < 2L * 2**7 * 2**7 <= 2**23.3, so slots stay < 2**23.3 * 129 < 2**30.4,
     inside the < 2**31 bound that makes the callers' three-pass carry fix
     sound.
     """
-    u = d.astype(jnp.int32).astype(jnp.uint32)
+    u = d.astype(jnp.uint32)
     return u[:W] + (u[W:] << 7)
 
 
@@ -157,7 +154,7 @@ def _mont_mul_into(out_write, a_ref, b, m, mp, t_ref, w_ref, wq=None, wm=None):
       the kernel output without an extra copy).
     a_ref: ref with the left operand in limbs [0:L] (<= 2**15 each).
     b: [L, TB] value, right operand.
-    wq, wm: optional bf16 REDC constant matrices ([2L, 2L] and [4L, 2L],
+    wq, wm: optional uint8 REDC constant matrices ([2L, 2L] and [4L, 2L],
       montgomery._build_redc_matrices). When present, both REDC products
       run as exact MXU matmuls over 7-bit digits; otherwise the VPU
       schoolbook loops are used.
@@ -166,20 +163,20 @@ def _mont_mul_into(out_write, a_ref, b, m, mp, t_ref, w_ref, wq=None, wm=None):
     _mul_into(t_ref, a_ref, b, L)  # t = a*b, carry-fixed
     if wq is not None:
         # q = t_low * M' mod R on the MXU: constant-matrix product over
-        # t_low's 7-bit digits, f32-exact (sums < 2L * 2**14 < 2**24).
+        # t_low's 7-bit digits, 8-bit operands with exact int32 sums.
         qd = jax.lax.dot_general(
             wq,
-            _digits_bf16(t_ref[0:L, :]),
+            _digits_u8(t_ref[0:L, :]),
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.int32,
         )  # [2L, TB]
         q = _carry_fix_cols(_undigit(qd, L))  # [L, TB] limbs <= 2**14, = q mod R
         # q*M on the MXU: [4L, 2L] @ digits(q) -> 2L limbs of the product.
         pd = jax.lax.dot_general(
             wm,
-            _digits_bf16(q),
+            _digits_u8(q),
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.int32,
         )  # [4L, TB]
         t2l = t_ref[0 : 2 * L, :] + _undigit(pd, 2 * L)
         _redc_tail(t2l, L, TB, out_write)
@@ -307,7 +304,7 @@ def mont_pow_shared(base, digits, ctx, window=4, tb=LANES):
 # -- single Montgomery multiply (homomorphic add / ciphertext product) -------
 
 
-def _mul_kernel(a_ref, b_ref, m_ref, mp_ref, *rest, mxu):
+def _mul_kernel(a_ref, b_ref, m_ref, mp_ref, *rest, mxu, b_const=False):
     if mxu:
         wq_ref, wm_ref, out_ref, t_ref = rest
         w_ref, wq, wm = None, wq_ref[:, :], wm_ref[:, :]
@@ -317,11 +314,12 @@ def _mul_kernel(a_ref, b_ref, m_ref, mp_ref, *rest, mxu):
     L, TB = a_ref.shape
     m = jnp.broadcast_to(m_ref[:, :], (L, TB))
     mp = jnp.broadcast_to(mp_ref[:, :], (L, TB))
+    b = jnp.broadcast_to(b_ref[:, :], (L, TB)) if b_const else b_ref[:, :]
 
     def write(v):
         out_ref[:, :] = v
 
-    _mont_mul_into(write, a_ref, b_ref[:, :], m, mp, t_ref, w_ref, wq, wm)
+    _mont_mul_into(write, a_ref, b, m, mp, t_ref, w_ref, wq, wm)
 
 
 @functools.partial(jax.jit, static_argnames=("tb",))
@@ -370,6 +368,54 @@ def mont_mul_cols(a_cols, b_cols, ctx, tb=LANES):
 def mont_mul(a, b, ctx, tb=LANES):
     """Row-major convenience wrapper: [B, L] x [B, L] -> [B, L]."""
     return mont_mul_cols(a.T, b.T, ctx, tb=tb).T
+
+
+@functools.partial(jax.jit, static_argnames=("tb",))
+def mont_mul_const_cols(a_cols, b_limbs, ctx, tb=LANES):
+    """Batched Montgomery product against one shared operand.
+
+    a_cols: [L, B] columns; b_limbs: [L] canonical limbs shared across the
+    batch (e.g. R^2 for to_mont, n*R^2 mod n^2 for the (n*m+1) encryption
+    prologue). One VMEM-resident kernel instead of the XLA [B, L, L]
+    outer-product formulation.
+    """
+    L, B = a_cols.shape
+    pad = (-B) % tb
+    if pad:
+        a_cols = jnp.pad(a_cols, ((0, 0), (0, pad)))
+    Bp = a_cols.shape[1]
+    mxu = ctx.w_mq is not None
+    in_specs = [
+        pl.BlockSpec((L, tb), lambda i: (0, i)),
+        pl.BlockSpec((L, 1), lambda i: (0, 0)),
+        pl.BlockSpec((L, 1), lambda i: (0, 0)),
+        pl.BlockSpec((L, 1), lambda i: (0, 0)),
+    ]
+    inputs = [a_cols, b_limbs[:, None], ctx.m[:, None], ctx.m_prime[:, None]]
+    scratch = [pltpu.VMEM((2 * L, tb), jnp.uint32)]
+    if mxu:
+        in_specs += [
+            pl.BlockSpec((2 * L, 2 * L), lambda i: (0, 0)),
+            pl.BlockSpec((4 * L, 2 * L), lambda i: (0, 0)),
+        ]
+        inputs += [ctx.w_mq, ctx.w_m]
+    else:
+        scratch.append(pltpu.VMEM((2 * L, tb), jnp.uint32))
+    out = pl.pallas_call(
+        functools.partial(_mul_kernel, mxu=mxu, b_const=True),
+        out_shape=jax.ShapeDtypeStruct((L, Bp), jnp.uint32),
+        grid=(Bp // tb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((L, tb), lambda i: (0, i)),
+        scratch_shapes=scratch,
+        interpret=_interpret(),
+    )(*inputs)
+    return out[:, :B]
+
+
+def mont_mul_const(a, b_limbs, ctx, tb=LANES):
+    """Row-major wrapper: [B, L] x shared [L] -> [B, L]."""
+    return mont_mul_const_cols(a.T, b_limbs, ctx, tb=tb).T
 
 
 # -- per-element exponents (scalar multiply / exponent alignment) ------------
