@@ -47,13 +47,20 @@ class MontgomeryContext(NamedTuple):
       r2: [L] limbs of R^2 mod M (to-Montgomery factor).
       one: [L] limbs of R mod M (Montgomery representation of 1).
       m_comp: [L] limbs of R - M (for branch-free conditional subtract).
-      w_mq: uint8 [2L, 2L] MXU REDC matrix for the Montgomery quotient, or
+      w_mq: int8 [2L, 2L] MXU REDC matrix for the Montgomery quotient, or
         None. Column i holds the 7-bit block-order digits of
         (2**w_i * M') mod R, where w_i is the weight of input digit i —
-        so ``w_mq @ digits(t_low)`` is t_low * M' mod R on the MXU,
-        exactly (8-bit operands, int32 accumulation).
-      w_m: uint8 [4L, 2L] companion matrix of 2**w_i * M (full product,
+        so ``w_mq @ digits(t_low) + c_mq`` is t_low * M' mod R on the MXU,
+        exactly (int8 operands, int32 accumulation). The MXU's 8-bit path
+        is signed (uint8 operands are silently treated as int8 — a limb of
+        exactly 2**14 gives a high digit of 128, which wraps to -128), so
+        high digits are stored biased: digits(x) emits (x >> 7) - 64 in
+        [-64, 64], and c_mq = 64 * (sum of the high-digit matrix columns)
+        restores the exact sum.
+      w_m: int8 [4L, 2L] companion matrix of 2**w_i * M (full product,
         2L output limbs) for the q*M multiply-accumulate, or None.
+      c_mq: int32 [2L] bias-compensation vector for w_mq, or None.
+      c_m: int32 [4L] bias-compensation vector for w_m, or None.
     """
 
     m: jnp.ndarray
@@ -63,6 +70,8 @@ class MontgomeryContext(NamedTuple):
     m_comp: jnp.ndarray
     w_mq: jnp.ndarray = None
     w_m: jnp.ndarray = None
+    c_mq: jnp.ndarray = None
+    c_m: jnp.ndarray = None
 
     @property
     def num_limbs(self):
@@ -91,16 +100,19 @@ def _block_digits(limb_rows):
 
 
 def _build_redc_matrices(modulus, m_prime, num_limbs):
-    """uint8 constant matrices turning both REDC multiplies into matmuls.
+    """int8 constant matrices turning both REDC multiplies into matmuls.
 
     The two inner REDC products have one *shared* operand each (M' and M,
     properties of the key) — which is exactly the structure the MXU wants:
     x * C = sum_i digit_i(x) * (2**w_i * C), a constant-matrix product
-    over x's 7-bit digits. Entries are <= 127 and inputs are <= 128
-    (redundant limbs can hit 2**14 exactly, so the high digit reaches 128,
-    which overflows int8 but not uint8). The MXU runs 8-bit operands at
-    ~1.5x the bf16 rate and accumulates into int32 — exact for any sum
-    here (< 2L * 2**15 <= 2**25), with no float conversions on the VPU.
+    over x's 7-bit digits. Matrix entries are canonical digits <= 127, so
+    they fit int8 exactly. Input high digits can reach 128 (redundant
+    limbs hit 2**14), and the MXU's 8-bit path is signed — so the kernel
+    biases high digits by -64 into [-64, 64] and each matmul output gets
+    the constant compensation 64 * (sum of high-digit columns), returned
+    here as int32 vectors. 8-bit operands run at ~1.5x the bf16 rate and
+    accumulate into int32: exact (|sums| < 2L * 2**14 < 2**24), with no
+    float conversions on the VPU.
     """
     L = num_limbs
     R = 1 << (lm.LIMB_BITS * L)
@@ -113,8 +125,12 @@ def _build_redc_matrices(modulus, m_prime, num_limbs):
     # so jnp.dot(w, digits[2L, TB]) yields output digits [rows, TB].
     a_q = _block_digits(np.asarray(hl.ints_to_limbs(cs_q, L)))  # [2L, 2L]
     a_m = _block_digits(np.asarray(hl.ints_to_limbs(cs_m, 2 * L)))  # [2L, 4L]
-    to_u8 = lambda a: jnp.asarray(np.ascontiguousarray(a.T).astype(np.uint8))
-    return to_u8(a_q), to_u8(a_m)
+    # Bias compensation: high-digit input rows are i in [L, 2L).
+    c_q = 64 * a_q[L:].sum(axis=0, dtype=np.int64)  # [2L]
+    c_m = 64 * a_m[L:].sum(axis=0, dtype=np.int64)  # [4L]
+    to_i8 = lambda a: jnp.asarray(np.ascontiguousarray(a.T).astype(np.int8))
+    to_i32 = lambda c: jnp.asarray(c.astype(np.int32))
+    return to_i8(a_q), to_i8(a_m), to_i32(c_q), to_i32(c_m)
 
 
 def build_context(modulus, num_limbs=None, mxu=True):
@@ -133,9 +149,9 @@ def build_context(modulus, num_limbs=None, mxu=True):
         raise ValueError("num_limbs too small for subtraction-free Montgomery")
     m_prime = (-pow(modulus, -1, R)) % R
     pack = lambda v: jnp.asarray(hl.int_to_limbs(v, num_limbs))
-    w_mq = w_m = None
+    w_mq = w_m = c_mq = c_m = None
     if mxu and num_limbs % 8 == 0 and os.environ.get("PHE_TPU_MXU", "1") != "0":
-        w_mq, w_m = _build_redc_matrices(modulus, m_prime, num_limbs)
+        w_mq, w_m, c_mq, c_m = _build_redc_matrices(modulus, m_prime, num_limbs)
     return MontgomeryContext(
         m=pack(modulus),
         m_prime=pack(m_prime),
@@ -144,6 +160,8 @@ def build_context(modulus, num_limbs=None, mxu=True):
         m_comp=pack(R - modulus),
         w_mq=w_mq,
         w_m=w_m,
+        c_mq=c_mq,
+        c_m=c_m,
     )
 
 

@@ -111,25 +111,30 @@ def _mul_into(t_ref, a_ref, b, La, accumulate=False, fix=True):
         t_ref[0 : La + Lb, :] = _carry_fix_cols(t_ref[0 : La + Lb, :])
 
 
-def _digits_u8(x):
-    """[W, TB] limbs <= 2**14 -> [2W, TB] uint8 block-order 7-bit digits.
+def _digits_i8(x):
+    """[W, TB] limbs <= 2**14 -> [2W, TB] int8 block-order digits, biased.
 
-    Rows [0:W] are the low 7 bits, rows [W:2W] the high bits (<= 2**7 —
-    redundant limbs can hit 2**14, so 128 must be representable: uint8
-    is, int8 is not).
+    Rows [0:W] are the low 7 bits (<= 127). Rows [W:2W] are the high bits
+    MINUS 64: redundant limbs can hit 2**14, making the raw high digit
+    128, and the MXU's 8-bit path is signed (it wraps 128 to -128, even
+    for nominally-uint8 operands) — so high digits are carried biased in
+    [-64, 64] and the matmul output is restored with the context's
+    precomputed compensation vector (montgomery._build_redc_matrices).
     """
-    return jnp.concatenate([x & 0x7F, x >> 7], axis=0).astype(jnp.uint8)
+    lo = (x & 0x7F).astype(jnp.int32)
+    hi = (x >> 7).astype(jnp.int32) - 64
+    return jnp.concatenate([lo, hi], axis=0).astype(jnp.int8)
 
 
-def _undigit(d, W):
-    """int32 [2W, TB] block-order digit sums -> uint32 [W, TB] slots.
+def _undigit(d, comp, W):
+    """int32 [2W, TB] biased digit sums -> uint32 [W, TB] slots.
 
-    slot_k = d[k] + (d[W+k] << 7). Every REDC digit sum is
-    < 2L * 2**7 * 2**7 <= 2**23.3, so slots stay < 2**23.3 * 129 < 2**30.4,
-    inside the < 2**31 bound that makes the callers' three-pass carry fix
-    sound.
+    comp: int32 [2W] bias compensation (64 * high-digit column sums);
+    d + comp is the exact non-negative digit sum < 2L * 2**14 <= 2**23.3,
+    so slots stay < 2**23.3 * 129 < 2**30.6, inside the < 2**31 bound
+    that makes the callers' three-pass carry fix sound.
     """
-    u = d.astype(jnp.uint32)
+    u = (d + comp[:, None]).astype(jnp.uint32)
     return u[:W] + (u[W:] << 7)
 
 
@@ -146,7 +151,7 @@ def _redc_tail(t2l, L, TB, out_write):
     out_write(_carry_fix_cols(high))
 
 
-def _mont_mul_into(out_write, a_ref, b, m, mp, t_ref, w_ref, wq=None, wm=None):
+def _mont_mul_into(out_write, a_ref, b, m, mp, t_ref, w_ref, mx=None):
     """out = REDC(a * b): Montgomery product via two VMEM scratch buffers.
 
     out_write: callable consuming the [L, TB] result (written via the
@@ -154,31 +159,33 @@ def _mont_mul_into(out_write, a_ref, b, m, mp, t_ref, w_ref, wq=None, wm=None):
       the kernel output without an extra copy).
     a_ref: ref with the left operand in limbs [0:L] (<= 2**15 each).
     b: [L, TB] value, right operand.
-    wq, wm: optional uint8 REDC constant matrices ([2L, 2L] and [4L, 2L],
-      montgomery._build_redc_matrices). When present, both REDC products
-      run as exact MXU matmuls over 7-bit digits; otherwise the VPU
-      schoolbook loops are used.
+    mx: optional (wq, wm, cq, cm) — the int8 REDC constant matrices
+      ([2L, 2L] and [4L, 2L]) and their int32 bias-compensation vectors
+      (montgomery._build_redc_matrices). When present, both REDC products
+      run as exact MXU matmuls over biased 7-bit digits; otherwise the
+      VPU schoolbook loops are used.
     """
     L, TB = b.shape
     _mul_into(t_ref, a_ref, b, L)  # t = a*b, carry-fixed
-    if wq is not None:
+    if mx is not None:
+        wq, wm, cq, cm = mx
         # q = t_low * M' mod R on the MXU: constant-matrix product over
-        # t_low's 7-bit digits, 8-bit operands with exact int32 sums.
+        # t_low's biased digits, int8 operands with exact int32 sums.
         qd = jax.lax.dot_general(
             wq,
-            _digits_u8(t_ref[0:L, :]),
+            _digits_i8(t_ref[0:L, :]),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # [2L, TB]
-        q = _carry_fix_cols(_undigit(qd, L))  # [L, TB] limbs <= 2**14, = q mod R
+        q = _carry_fix_cols(_undigit(qd, cq, L))  # [L, TB] <= 2**14, q mod R
         # q*M on the MXU: [4L, 2L] @ digits(q) -> 2L limbs of the product.
         pd = jax.lax.dot_general(
             wm,
-            _digits_u8(q),
+            _digits_i8(q),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # [4L, TB]
-        t2l = t_ref[0 : 2 * L, :] + _undigit(pd, 2 * L)
+        t2l = t_ref[0 : 2 * L, :] + _undigit(pd, cm, 2 * L)
         _redc_tail(t2l, L, TB, out_write)
         return
     # m_q = (t mod R) * M' mod R: low L limbs of t[0:L] * mp.
@@ -190,11 +197,12 @@ def _mont_mul_into(out_write, a_ref, b, m, mp, t_ref, w_ref, wq=None, wm=None):
 
 def _pow_kernel(digits_ref, base_ref, m_ref, mp_ref, one_ref, *rest, window, mxu):
     if mxu:
-        wq_ref, wm_ref, out_ref, acc_ref, t_ref, tab_ref = rest
-        w_ref, wq, wm = None, wq_ref[:, :], wm_ref[:, :]
+        wq_ref, wm_ref, cq_ref, cm_ref, out_ref, acc_ref, t_ref, tab_ref = rest
+        w_ref = None
+        mx = (wq_ref[:, :], wm_ref[:, :], cq_ref[:, 0], cm_ref[:, 0])
     else:
         out_ref, acc_ref, t_ref, w_ref, tab_ref = rest
-        wq = wm = None
+        mx = None
     L, TB = base_ref.shape
     m = jnp.broadcast_to(m_ref[:, :], (L, TB))
     mp = jnp.broadcast_to(mp_ref[:, :], (L, TB))
@@ -212,7 +220,7 @@ def _pow_kernel(digits_ref, base_ref, m_ref, mp_ref, one_ref, *rest, window, mxu
         # tab[k] = tab[k-1] * base; acc_ref holds tab[k-1] as the
         # dynamically-indexed operand.
         acc_ref[:, :] = tab_ref[k - 1]
-        _mont_mul_into(write, acc_ref, base_ref[:, :], m, mp, t_ref, w_ref, wq, wm)
+        _mont_mul_into(write, acc_ref, base_ref[:, :], m, mp, t_ref, w_ref, mx)
         return 0
 
     jax.lax.fori_loop(2, K, build, 0)
@@ -232,7 +240,7 @@ def _pow_kernel(digits_ref, base_ref, m_ref, mp_ref, one_ref, *rest, window, mxu
         wi, j = i // (window + 1), i % (window + 1)
         factor = tab_ref[digits_ref[wi]]
         b = jnp.where(j < window, acc_ref[:, :], factor)
-        _mont_mul_into(acc_write, acc_ref, b, m, mp, t_ref, w_ref, wq, wm)
+        _mont_mul_into(acc_write, acc_ref, b, m, mp, t_ref, w_ref, mx)
         return 0
 
     jax.lax.fori_loop(0, n_windows * (window + 1), step, 0)
@@ -274,8 +282,10 @@ def mont_pow_shared_cols(base_cols, digits, ctx, window=4, tb=LANES):
         in_specs += [
             pl.BlockSpec((2 * L, 2 * L), lambda i, _: (0, 0)),
             pl.BlockSpec((4 * L, 2 * L), lambda i, _: (0, 0)),
+            pl.BlockSpec((2 * L, 1), lambda i, _: (0, 0)),
+            pl.BlockSpec((4 * L, 1), lambda i, _: (0, 0)),
         ]
-        inputs += [ctx.w_mq, ctx.w_m]
+        inputs += [ctx.w_mq, ctx.w_m, ctx.c_mq[:, None], ctx.c_m[:, None]]
     else:
         scratch.append(pltpu.VMEM((2 * L, tb), jnp.uint32))  # m_q scratch
     scratch.append(pltpu.VMEM((2**window, L, tb), jnp.uint32))  # window table
@@ -306,11 +316,12 @@ def mont_pow_shared(base, digits, ctx, window=4, tb=LANES):
 
 def _mul_kernel(a_ref, b_ref, m_ref, mp_ref, *rest, mxu, b_const=False):
     if mxu:
-        wq_ref, wm_ref, out_ref, t_ref = rest
-        w_ref, wq, wm = None, wq_ref[:, :], wm_ref[:, :]
+        wq_ref, wm_ref, cq_ref, cm_ref, out_ref, t_ref = rest
+        w_ref = None
+        mx = (wq_ref[:, :], wm_ref[:, :], cq_ref[:, 0], cm_ref[:, 0])
     else:
         out_ref, t_ref, w_ref = rest
-        wq = wm = None
+        mx = None
     L, TB = a_ref.shape
     m = jnp.broadcast_to(m_ref[:, :], (L, TB))
     mp = jnp.broadcast_to(mp_ref[:, :], (L, TB))
@@ -319,7 +330,7 @@ def _mul_kernel(a_ref, b_ref, m_ref, mp_ref, *rest, mxu, b_const=False):
     def write(v):
         out_ref[:, :] = v
 
-    _mont_mul_into(write, a_ref, b, m, mp, t_ref, w_ref, wq, wm)
+    _mont_mul_into(write, a_ref, b, m, mp, t_ref, w_ref, mx)
 
 
 @functools.partial(jax.jit, static_argnames=("tb",))
@@ -349,8 +360,10 @@ def mont_mul_cols(a_cols, b_cols, ctx, tb=LANES):
         in_specs += [
             pl.BlockSpec((2 * L, 2 * L), lambda i: (0, 0)),
             pl.BlockSpec((4 * L, 2 * L), lambda i: (0, 0)),
+            pl.BlockSpec((2 * L, 1), lambda i: (0, 0)),
+            pl.BlockSpec((4 * L, 1), lambda i: (0, 0)),
         ]
-        inputs += [ctx.w_mq, ctx.w_m]
+        inputs += [ctx.w_mq, ctx.w_m, ctx.c_mq[:, None], ctx.c_m[:, None]]
     else:
         scratch.append(pltpu.VMEM((2 * L, tb), jnp.uint32))
     out = pl.pallas_call(
@@ -397,8 +410,10 @@ def mont_mul_const_cols(a_cols, b_limbs, ctx, tb=LANES):
         in_specs += [
             pl.BlockSpec((2 * L, 2 * L), lambda i: (0, 0)),
             pl.BlockSpec((4 * L, 2 * L), lambda i: (0, 0)),
+            pl.BlockSpec((2 * L, 1), lambda i: (0, 0)),
+            pl.BlockSpec((4 * L, 1), lambda i: (0, 0)),
         ]
-        inputs += [ctx.w_mq, ctx.w_m]
+        inputs += [ctx.w_mq, ctx.w_m, ctx.c_mq[:, None], ctx.c_m[:, None]]
     else:
         scratch.append(pltpu.VMEM((2 * L, tb), jnp.uint32))
     out = pl.pallas_call(
@@ -433,11 +448,12 @@ def _pow_vec_kernel(
     docs/caveats.rst ignores it, here uniformity falls out of SIMD).
     """
     if mxu:
-        wq_ref, wm_ref, out_ref, acc_ref, t_ref, tab_ref = rest
-        w_ref, wq, wm = None, wq_ref[:, :], wm_ref[:, :]
+        wq_ref, wm_ref, cq_ref, cm_ref, out_ref, acc_ref, t_ref, tab_ref = rest
+        w_ref = None
+        mx = (wq_ref[:, :], wm_ref[:, :], cq_ref[:, 0], cm_ref[:, 0])
     else:
         out_ref, acc_ref, t_ref, w_ref, tab_ref = rest
-        wq = wm = None
+        mx = None
     L, TB = base_ref.shape
     m = jnp.broadcast_to(m_ref[:, :], (L, TB))
     mp = jnp.broadcast_to(mp_ref[:, :], (L, TB))
@@ -452,7 +468,7 @@ def _pow_vec_kernel(
             tab_ref[k] = v
 
         acc_ref[:, :] = tab_ref[k - 1]
-        _mont_mul_into(write, acc_ref, base_ref[:, :], m, mp, t_ref, w_ref, wq, wm)
+        _mont_mul_into(write, acc_ref, base_ref[:, :], m, mp, t_ref, w_ref, mx)
         return 0
 
     jax.lax.fori_loop(2, K, build, 0)
@@ -473,7 +489,7 @@ def _pow_vec_kernel(
             sel = (d == k).astype(jnp.uint32)  # [1, TB]
             factor = factor + tab_ref[k] * sel
         b = jnp.where(j < window, acc_ref[:, :], factor)
-        _mont_mul_into(acc_write, acc_ref, b, m, mp, t_ref, w_ref, wq, wm)
+        _mont_mul_into(acc_write, acc_ref, b, m, mp, t_ref, w_ref, mx)
         return 0
 
     jax.lax.fori_loop(0, n_windows * (window + 1), step, 0)
@@ -523,8 +539,10 @@ def mont_pow_cols(base_cols, digits_cols, ctx, window=4, tb=LANES):
         in_specs += [
             pl.BlockSpec((2 * L, 2 * L), lambda i: (0, 0)),
             pl.BlockSpec((4 * L, 2 * L), lambda i: (0, 0)),
+            pl.BlockSpec((2 * L, 1), lambda i: (0, 0)),
+            pl.BlockSpec((4 * L, 1), lambda i: (0, 0)),
         ]
-        inputs += [ctx.w_mq, ctx.w_m]
+        inputs += [ctx.w_mq, ctx.w_m, ctx.c_mq[:, None], ctx.c_m[:, None]]
     else:
         scratch.append(pltpu.VMEM((2 * L, tb), jnp.uint32))
     scratch.append(pltpu.VMEM((2**window, L, tb), jnp.uint32))
