@@ -31,7 +31,7 @@ represented value below the array's capacity, and with non-negative limbs
 that forces the dropped carry to be zero (value < 2**(14*L) and
 limb[L] >= 1 would contradict each other).
 
-Montgomery usage (phe_tpu.ops.montgomery): L = ceil(bits / 15) always gives
+Montgomery usage (phe_tpu.ops.montgomery): L = ceil((bits + 16) / 14) always gives
 the Montgomery radix R = 2**(14 L) at least 2**7 of headroom over the
 modulus M, so the "no final subtraction" variant applies — chain values
 stay < 2M with no data-dependent branches inside modexp (which also closes
@@ -54,12 +54,12 @@ def _shift_up(c):
 
 
 def carry_pass(x):
-    """One redistribute step: keep low 15 bits, push the rest up one limb."""
+    """One redistribute step: keep low 14 bits, push the rest up one limb."""
     return (x & LIMB_MASK) + _shift_up(x >> LIMB_BITS)
 
 
 def carry_fix(x):
-    """Restore the redundant invariant (limbs <= 2**15).
+    """Restore the redundant invariant (limbs <= 2**14).
 
     Sound for any accumulator with limbs < 2**31 (all accumulators in this
     module are; see module docstring for the three-pass bound chain).
@@ -96,10 +96,10 @@ def mul_full(a, b):
 
     Batched independent big-int multiply: each leading-dim element
     multiplies its own (a, b) pair. One broadcast outer product gives every
-    partial product at once (operand limbs <= 2**15 keep products < 2**30
-    in uint32); the 15-bit halves are summed along anti-diagonals with the
+    partial product at once (operand limbs <= 2**14 keep products < 2**28
+    in uint32); the 14-bit halves are summed along anti-diagonals with the
     static shear of :func:`diag_sum`. Output slots receive at most
-    2*min(La, Lb) halves of <= 2**15 each, staying under 2**31 for the one
+    2*min(La, Lb) halves of <= 2**14 each, staying under 2**31 for the one
     carry_fix at the end.
 
     Requires value(a) * value(b) < 2**(14 * (La + Lb)) (all callers keep
@@ -132,7 +132,7 @@ def shift_right_limbs_exact(x, nlimbs):
     """Divide by R = 2**(14*nlimbs) when value(x) is an exact multiple of R.
 
     In redundant form the low limbs' partial sum S_low is a multiple of R
-    (Montgomery invariant) and < 2R (limbs <= 2**15), hence S_low is 0 or
+    (Montgomery invariant) and < 2R (limbs <= 2**14), hence S_low is 0 or
     exactly R: the carry into the high half is 1 iff any low limb is
     non-zero.
     """
@@ -143,7 +143,7 @@ def shift_right_limbs_exact(x, nlimbs):
 
 
 def normalize(x):
-    """Fully propagate carries to canonical limbs (<= 2**15 - 1).
+    """Fully propagate carries to canonical limbs (<= 2**14 - 1).
 
     Boundary-only helper (export, compare, decode windows); Montgomery
     chains stay redundant. while_loop until stable — expected 2-3 trips,
@@ -155,13 +155,13 @@ def normalize(x):
 
 
 def pack_bytes(x):
-    """Canonical limbs [..., L] -> little-endian bytes [..., ceil(15L/8)].
+    """Canonical limbs [..., L] -> little-endian bytes [..., ceil(14L/8)].
 
     Device-side base conversion so the host can rebuild Python ints with
     one C-speed int.from_bytes per row instead of a per-limb Horner loop.
-    Byte j covers bits [8j, 8j+8), spanning at most two 15-bit limbs; the
+    Byte j covers bits [8j, 8j+8), spanning at most two 14-bit limbs; the
     source indices and shifts are static arrays, so this is two gathers
-    and a shift-or. Input must be canonical (limbs <= 2**15 - 1).
+    and a shift-or. Input must be canonical (limbs <= 2**14 - 1).
     """
     L = x.shape[-1]
     nbytes = (LIMB_BITS * L + 7) // 8

@@ -9,7 +9,7 @@ Design:
 * per-modulus constants are computed once on host from Python ints and
   packed into a ``MontgomeryContext`` pytree (a scalar-prefetch-style
   constant bundle);
-* the limb count L = ceil((bits(M) + 16) / 15) keeps the Montgomery radix
+* the limb count L = ceil((bits(M) + 16) / 14) keeps the Montgomery radix
   R = 2**(14 L) at least 2**16 above M, so the subtraction-free variant
   holds: every chained value stays < 1.01 M (bound: REDC output
   <= T/R + (1+eps) M with T < 16 M^2 <= R M), and no data-dependent
@@ -111,10 +111,23 @@ def _build_redc_matrices(modulus, m_prime, num_limbs):
     biases high digits by -64 into [-64, 64] and each matmul output gets
     the constant compensation 64 * (sum of high-digit columns), returned
     here as int32 vectors. 8-bit operands run at ~1.5x the bf16 rate and
-    accumulate into int32: exact (|sums| < 2L * 2**14 < 2**24), with no
-    float conversions on the VPU.
+    accumulate into int32, with no float conversions on the VPU.
+
+    Exactness ceiling: a compensated digit sum is at most
+    2L * 127 * 128 = 2L * 2**14 (127 matrix digits times true input digits
+    <= 128), and the kernel's _undigit recombination forms uint32 slots of
+    at most 129x that (lo + hi<<7). The three-pass carry fix needs slots
+    < 2**31, so 2L * 2**14 * 129 < 2**31 requires L <= 507. Larger
+    geometries (e.g. 8192-bit n^2 for 4096-bit keys, L = 592) must use the
+    VPU REDC path; build_context enforces this by not attaching the
+    matrices.
     """
     L = num_limbs
+    if 2 * L * (1 << lm.LIMB_BITS) * 129 >= 1 << 31:
+        raise ValueError(
+            "MXU REDC digit sums would overflow the carry-fix bound for "
+            "L=%d (max 507); use the VPU path" % L
+        )
     R = 1 << (lm.LIMB_BITS * L)
     weights = [lm.LIMB_BITS * i for i in range(L)] + [
         lm.LIMB_BITS * i + 7 for i in range(L)
@@ -150,7 +163,12 @@ def build_context(modulus, num_limbs=None, mxu=True):
     m_prime = (-pow(modulus, -1, R)) % R
     pack = lambda v: jnp.asarray(hl.int_to_limbs(v, num_limbs))
     w_mq = w_m = c_mq = c_m = None
-    if mxu and num_limbs % 8 == 0 and os.environ.get("PHE_TPU_MXU", "1") != "0":
+    if (
+        mxu
+        and num_limbs % 8 == 0
+        and num_limbs <= 507  # MXU digit-sum exactness ceiling, see above
+        and os.environ.get("PHE_TPU_MXU", "1") != "0"
+    ):
         w_mq, w_m, c_mq, c_m = _build_redc_matrices(modulus, m_prime, num_limbs)
     return MontgomeryContext(
         m=pack(modulus),
@@ -459,12 +477,12 @@ def mod_reduce(x, ctx, table):
         for w in (0, 6, 12):
             part = (high >> w) & 0x3F if w < 12 else high >> 12
             s = dot(part)  # [..., L], < 2**30
-            # value(s) * 2**w folded into 15-bit slots; every addend is
+            # value(s) * 2**w folded into 14-bit slots; every addend is
             # < 2**27, keeping accumulator slots < 2**31 for carry_fix.
             acc = acc + jnp.pad((s & lm.LIMB_MASK) << w, pad_lo)
             acc = acc + jnp.pad((s >> lm.LIMB_BITS) << w, pad_hi)
         return lm.carry_fix(acc)  # [..., L+1]
 
-    y = fold(x)  # value <= beta^L(1+eps) + K*2**15*M <= 2**8 * R
-    y = fold(y)  # value <= beta^L(1+eps) + 2**15*M < 1.51 * R
+    y = fold(x)  # value <= beta^L(1+eps) + K*2**16*M <= 2**8 * R
+    y = fold(y)  # value <= beta^L(1+eps) + 2**16*M < 1.51 * R
     return y  # [..., L+1]; to_mont accepts this width and value bound

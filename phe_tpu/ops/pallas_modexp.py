@@ -16,9 +16,9 @@ Design (TPU-first, not a GMP translation):
   between Montgomery steps (the XLA formulation in
   phe_tpu.ops.montgomery materialises exactly those, which is why it runs
   memory-bound and falls over at large batches).
-* **Redundant base-2^15 limbs** as in phe_tpu.ops.limb_math: limbs carried
-  at <= 2**15, products of redundant limbs fit uint32, and a schoolbook
-  accumulator slot absorbs <= 2*min(La,Lb) 15-bit halves (< 2**25) before
+* **Redundant base-2^14 limbs** as in phe_tpu.ops.limb_math: limbs carried
+  at <= 2**14, products of redundant limbs fit uint32, and a schoolbook
+  accumulator slot absorbs <= 2*min(La,Lb) 14-bit halves (< 2**25) before
   one three-pass carry fix. Same subtraction-free Montgomery variant
   (R >= 2**16 * M, chain values < 1.01 M, no data-dependent branches — the
   kernel is constant-time with respect to both bases and exponent).
@@ -62,7 +62,7 @@ def _interpret():
 
 
 def _carry_fix_cols(x, passes=3):
-    """Carry restore on [W, TB] columns (slots < 2**31 -> limbs <= 2**15)."""
+    """Carry restore on [W, TB] columns (slots < 2**31 -> limbs <= 2**14)."""
     zero = jnp.zeros_like(x[:1])
     for _ in range(passes):
         hi = x >> lm.LIMB_BITS
@@ -130,9 +130,10 @@ def _undigit(d, comp, W):
     """int32 [2W, TB] biased digit sums -> uint32 [W, TB] slots.
 
     comp: int32 [2W] bias compensation (64 * high-digit column sums);
-    d + comp is the exact non-negative digit sum < 2L * 2**14 <= 2**23.3,
-    so slots stay < 2**23.3 * 129 < 2**30.6, inside the < 2**31 bound
-    that makes the callers' three-pass carry fix sound.
+    d + comp is the exact non-negative digit sum <= 2L * 127 * 128
+    = 2L * 2**14, so slots stay <= 2L * 2**14 * 129, inside the < 2**31
+    three-pass carry-fix bound for L <= 507 (enforced by
+    montgomery._build_redc_matrices; larger geometries use the VPU path).
     """
     u = (d + comp[:, None]).astype(jnp.uint32)
     return u[:W] + (u[W:] << 7)
@@ -157,7 +158,7 @@ def _mont_mul_into(out_write, a_ref, b, m, mp, t_ref, w_ref, mx=None):
     out_write: callable consuming the [L, TB] result (written via the
       caller's ref so the result can land in the accumulator, the table, or
       the kernel output without an extra copy).
-    a_ref: ref with the left operand in limbs [0:L] (<= 2**15 each).
+    a_ref: ref with the left operand in limbs [0:L] (<= 2**14 each).
     b: [L, TB] value, right operand.
     mx: optional (wq, wm, cq, cm) — the int8 REDC constant matrices
       ([2L, 2L] and [4L, 2L]) and their int32 bias-compensation vectors
@@ -190,7 +191,7 @@ def _mont_mul_into(out_write, a_ref, b, m, mp, t_ref, w_ref, mx=None):
         return
     # m_q = (t mod R) * M' mod R: low L limbs of t[0:L] * mp.
     _mul_into(w_ref, t_ref, mp, L)  # w[0:2L] = t[0:L] * mp (only [0:L] used)
-    # t += m_q * M, accumulated in place (slots < 2**25 + 2**15 < 2**26).
+    # t += m_q * M, accumulated in place (slots < 2**25 + 2**14 < 2**26).
     _mul_into(t_ref, w_ref, m, L, accumulate=True, fix=False)
     _redc_tail(t_ref[0 : 2 * L, :], L, TB, out_write)
 
@@ -262,6 +263,8 @@ def mont_pow_shared_cols(base_cols, digits, ctx, window=4, tb=LANES):
     L, B = base_cols.shape
     if L % 8:
         raise ValueError("limb count must be padded to a multiple of 8")
+    if B == 0:  # empty batch: x^e over zero elements (grid would be empty)
+        return base_cols
     pad = (-B) % tb
     if pad:
         base_cols = jnp.pad(base_cols, ((0, 0), (0, pad)))
@@ -342,6 +345,8 @@ def mont_mul_cols(a_cols, b_cols, ctx, tb=LANES):
     runs as this single kernel instead of an HBM-bound [B, L, L] einsum.
     """
     L, B = a_cols.shape
+    if B == 0:
+        return a_cols
     pad = (-B) % tb
     if pad:
         a_cols = jnp.pad(a_cols, ((0, 0), (0, pad)))
@@ -393,6 +398,8 @@ def mont_mul_const_cols(a_cols, b_limbs, ctx, tb=LANES):
     outer-product formulation.
     """
     L, B = a_cols.shape
+    if B == 0:
+        return a_cols
     pad = (-B) % tb
     if pad:
         a_cols = jnp.pad(a_cols, ((0, 0), (0, pad)))
@@ -506,6 +513,8 @@ def mont_pow_cols(base_cols, digits_cols, ctx, window=4, tb=LANES):
     L, B = base_cols.shape
     if L % 8:
         raise ValueError("limb count must be padded to a multiple of 8")
+    if B == 0:
+        return base_cols
     pad = (-B) % tb
     if pad:
         base_cols = jnp.pad(base_cols, ((0, 0), (0, pad)))

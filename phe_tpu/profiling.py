@@ -10,7 +10,7 @@ against the CPython baseline.
 
 Cost model (phe_tpu/ops): a Montgomery multiply over L limbs is three
 schoolbook products (a*b full, two REDC halves), each L^2 partial products
-with 15-bit halves — ~3 L^2 uint32 multiplies. A w-bit windowed modexp of
+with 14-bit halves — ~3 L^2 uint32 multiplies. A w-bit windowed modexp of
 an e-bit exponent costs (e/w)*(w+1) + 2**w - 1 Montgomery multiplies.
 """
 
