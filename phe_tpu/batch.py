@@ -664,9 +664,18 @@ class EncryptedBatch:
     # -- export ------------------------------------------------------------
 
     def ciphertext_ints(self, be_secure=True):
-        """Raw int ciphertexts, obfuscating first when be_secure."""
-        batch = self.obfuscate() if (be_secure and not self.is_obfuscated) else self
-        return batch._dc.export_ints(batch.mont)[: len(self)]
+        """Raw int ciphertexts, obfuscating first when be_secure.
+
+        Obfuscation persists on this batch (matching the reference's
+        on-first-secure-read state machine, phe/paillier.py:531-568):
+        repeated secure exports return the same ciphertexts without
+        re-paying the r^n modexp.
+        """
+        if be_secure and not self.is_obfuscated:
+            fresh = self.obfuscate()
+            self.mont = fresh.mont
+            self.is_obfuscated = True
+        return self._dc.export_ints(self.mont)[: len(self)]
 
     def to_encrypted_numbers(self, be_secure=True):
         from phe_tpu.encrypted import EncryptedNumber

@@ -199,6 +199,17 @@ class TestObfuscationStateMachine:
         secure = a.ciphertext_ints(be_secure=True)
         assert insecure != secure
 
+    def test_secure_export_persists(self, keypair):
+        # First secure read obfuscates AND sticks (phe/paillier.py:531-568):
+        # later exports, secure or not, see the same ciphertexts.
+        pub, priv = keypair
+        a = EncryptedBatch.encrypt(pub, [1.0], obfuscation="none")
+        first = a.ciphertext_ints(be_secure=True)
+        assert a.is_obfuscated
+        assert a.ciphertext_ints(be_secure=True) == first
+        assert a.ciphertext_ints(be_secure=False) == first
+        assert a.decrypt(priv) == [1.0]
+
     def test_obfuscate_preserves_plaintext(self, keypair):
         pub, priv = keypair
         a = EncryptedBatch.encrypt(pub, VALUES)
