@@ -1,22 +1,25 @@
-"""Fixed-point encoding of signed ints/floats into non-negative residues mod n.
+"""Fixed-point encoding: signed ints/floats <-> residues of the plaintext ring.
 
-Behavioural contract (bit-exact with the reference, SURVEY.md §7 items 4-5):
+Paillier operates on residues in [0, n); users hand us signed floats. The
+bridge is mantissa * BASE**exponent with the mantissa stored mod n, and the
+ring split into three windows by ``max_int = n//3 - 1``:
 
-* ``EncodedNumber.encode`` — phe/encoding.py:110-199: float precision derived
-  from ``math.frexp`` minus the 53 mantissa bits, floored in base-BASE;
-  explicit precision via ``floor(log(precision, BASE))``; the mantissa is
-  ``round(Fraction(scalar) * Fraction(BASE) ** -exponent)`` (exact rational
-  arithmetic, round-half-even); range-checked against ±max_int; negatives
-  wrap mod n.
-* ``decode`` — phe/encoding.py:201-233: ValueError for residues >= n,
-  positive window [0, max_int], negative window [n - max_int, n),
-  OverflowError in between; exact ints for exponent >= 0; int/int division
-  for negative exponents (the issue-62 fix).
-* ``decrease_exponent_to`` — phe/encoding.py:235-265.
+    [0, max_int]                    positive mantissas
+    (max_int, n - max_int)          dead zone -> OverflowError on decode
+    [n - max_int, n)                negative mantissas (wrapped mod n)
 
-The encoding is exact host integer arithmetic by design: the device engine
-only ever sees the resulting residues as packed limb tensors (see
-phe_tpu.batch for the batched encoder built on top of this class).
+Keeping a third of the ring as a dead zone is what makes *detectable*
+overflow possible: the sum of two in-range values can land there, but can
+never silently cross into the wrong sign window (an undetectable wrap needs
+magnitudes ~3x max_int).
+
+Every numeric decision is bit-pinned to the reference (phe/encoding.py,
+vendored alt-base suites): exponent selection from the float's least
+significant mantissa bit (or an explicit precision) floored in base-BASE,
+mantissa rounding as exact round-half-even rational arithmetic, and the
+int/int division on decode (upstream issue 62). All of it is exact host
+integer math — the device engine only ever sees finished residues, packed
+into limb tensors by phe_tpu.batch.
 """
 
 import fractions
@@ -25,17 +28,16 @@ import sys
 
 
 class EncodedNumber(object):
-    """A float or int encoded as ``mantissa * BASE ** exponent`` mod n.
+    """One signed number as (residue mod n, base-BASE exponent).
 
-    Subclass and override BASE / LOG2_BASE to interoperate with parties
-    using a different radix (reference: phe/encoding.py:97-102 and
-    examples/alternative_base.py).
+    BASE is a class attribute (default 16) so wire-compatible alternative
+    radices are a subclass away (examples/alternative_base.py); LOG2_BASE
+    must stay consistent with it.
 
     Attributes:
-      public_key: the PaillierPublicKey whose n / max_int define the
-        signed windows.
-      encoding (int): non-negative residue mod n holding the mantissa.
-      exponent (int): power of BASE scaling the mantissa (usually <= 0).
+      public_key: supplies n and max_int (the window geometry).
+      encoding (int): the mantissa as a residue in [0, n).
+      exponent (int): the power of BASE scaling the mantissa.
     """
 
     BASE = 16
@@ -48,119 +50,115 @@ class EncodedNumber(object):
         self.exponent = exponent
 
     @classmethod
-    def encode(cls, public_key, scalar, precision=None, max_exponent=None):
-        """Encode an int or float exactly (reference: phe/encoding.py:110-199).
+    def _natural_exponent(cls, scalar, precision):
+        """The finest exponent worth keeping for ``scalar``.
 
-        The exponent is the largest power of BASE that still represents
-        `scalar` to float precision (or to the given absolute `precision`),
-        clamped from above by `max_exponent`. The mantissa is computed with
-        exact rational arithmetic so alternative bases (including odd ones)
-        round identically to the reference.
+        Without an explicit precision: 0 for ints (they are exact), and
+        for floats the base-BASE floor of the exponent of the least
+        significant IEEE-754 mantissa bit — any finer digit would encode
+        noise the float never held. With a precision: the largest exponent
+        whose unit step is no coarser than it.
         """
-        if precision is None:
-            if isinstance(scalar, int):
-                prec_exponent = 0
-            elif isinstance(scalar, float):
-                # Exponent of the float's least significant mantissa bit,
-                # floored into base-BASE digits.
-                bin_flt_exponent = math.frexp(scalar)[1]
-                bin_lsb_exponent = bin_flt_exponent - cls.FLOAT_MANTISSA_BITS
-                prec_exponent = math.floor(bin_lsb_exponent / cls.LOG2_BASE)
-            else:
-                raise TypeError(
-                    "Don't know the precision of type %s." % type(scalar)
-                )
-        else:
-            prec_exponent = math.floor(math.log(precision, cls.BASE))
-
-        if max_exponent is None:
-            exponent = prec_exponent
-        else:
-            exponent = min(max_exponent, prec_exponent)
-
-        # Exact rational scaling; round() is banker's rounding, matching the
-        # reference's round(Fraction(...)) to the bit.
-        int_rep = round(
-            fractions.Fraction(scalar) * fractions.Fraction(cls.BASE) ** -exponent
+        if precision is not None:
+            return math.floor(math.log(precision, cls.BASE))
+        if isinstance(scalar, int):
+            return 0
+        if isinstance(scalar, float):
+            lsb = math.frexp(scalar)[1] - cls.FLOAT_MANTISSA_BITS
+            return math.floor(lsb / cls.LOG2_BASE)
+        raise TypeError(
+            "cannot infer an encoding precision for %s" % type(scalar)
         )
 
-        if abs(int_rep) > public_key.max_int:
-            raise ValueError(
-                "Integer needs to be within +/- %d but got %d"
-                % (public_key.max_int, int_rep)
-            )
+    @classmethod
+    def encode(cls, public_key, scalar, precision=None, max_exponent=None):
+        """Encode one int or float exactly.
 
-        return cls(public_key, int_rep % public_key.n, exponent)
+        The mantissa is round(Fraction(scalar) * BASE**-exponent): exact
+        rational scaling with round-half-even, which is what keeps odd
+        bases (BASE=13 in the vendored suites) bit-identical to the
+        reference. Magnitudes beyond max_int don't fit the signed windows
+        and raise ValueError.
+        """
+        exponent = cls._natural_exponent(scalar, precision)
+        if max_exponent is not None:
+            exponent = min(max_exponent, exponent)
+
+        mantissa = round(
+            fractions.Fraction(scalar)
+            * fractions.Fraction(cls.BASE) ** -exponent
+        )
+        if abs(mantissa) > public_key.max_int:
+            raise ValueError(
+                "encoded mantissa %d exceeds the +/-%d window"
+                % (mantissa, public_key.max_int)
+            )
+        return cls(public_key, mantissa % public_key.n, exponent)
 
     @classmethod
     def encode_many(cls, public_key, values):
-        """Vectorised exact encoding of a list of ints/floats.
+        """Exact encoding of a whole sequence (the batch-encrypt prologue).
 
-        Bit-identical to calling ``encode`` per element (same exponent
-        selection, same round-half-even mantissa), but the rational
-        arithmetic is replaced by exact float scaling when BASE is a power
-        of two: scalar * BASE**-exponent is then a power-of-two multiply
-        (``math.ldexp``), exact in IEEE-754 up to the float range, and
-        Python's round() applies the same banker's rounding. Non-power-of-
-        two bases (subclasses) and non-float values fall back to the exact
-        rational path.
+        Bit-identical to per-element ``encode``, but when BASE is a power
+        of two the rational path collapses: scalar * BASE**-exponent is a
+        power-of-two scaling, exact in IEEE-754 via ``math.ldexp``, and
+        Python's round() is the same round-half-even. Other bases and
+        non-floats take the rational path element-wise.
         """
         log2b = cls.BASE.bit_length() - 1
-        pow2_base = cls.BASE == (1 << log2b)
+        fast = cls.BASE == (1 << log2b)
+        n, max_int = public_key.n, public_key.max_int
         out = []
-        n = public_key.n
-        max_int = public_key.max_int
         for scalar in values:
             if isinstance(scalar, EncodedNumber):
                 out.append(scalar)
-                continue
-            if not (pow2_base and isinstance(scalar, float)):
+            elif fast and isinstance(scalar, float):
+                lsb = math.frexp(scalar)[1] - cls.FLOAT_MANTISSA_BITS
+                exponent = math.floor(lsb / cls.LOG2_BASE)
+                mantissa = round(math.ldexp(scalar, -log2b * exponent))
+                if abs(mantissa) > max_int:
+                    raise ValueError(
+                        "encoded mantissa %d exceeds the +/-%d window"
+                        % (mantissa, max_int)
+                    )
+                out.append(cls(public_key, mantissa % n, exponent))
+            else:
                 out.append(cls.encode(public_key, scalar))
-                continue
-            bin_lsb = math.frexp(scalar)[1] - cls.FLOAT_MANTISSA_BITS
-            exponent = math.floor(bin_lsb / cls.LOG2_BASE)
-            int_rep = round(math.ldexp(scalar, -log2b * exponent))
-            if abs(int_rep) > max_int:
-                raise ValueError(
-                    "Integer needs to be within +/- %d but got %d"
-                    % (max_int, int_rep)
-                )
-            out.append(cls(public_key, int_rep % n, exponent))
         return out
 
+    def _signed_mantissa(self):
+        """Map the residue back through the window split to a signed int."""
+        n, max_int = self.public_key.n, self.public_key.max_int
+        if self.encoding >= n:
+            raise ValueError("residue >= n: ciphertext or encoding corrupt")
+        if self.encoding <= max_int:
+            return self.encoding
+        if self.encoding >= n - max_int:
+            return self.encoding - n
+        raise OverflowError("encoded value fell in the overflow window")
+
     def decode(self):
-        """Decode back to an int or float (reference: phe/encoding.py:201-233).
+        """Back to an int (exponent >= 0, exact) or float.
 
-        Raises ValueError for corrupted (>= n) residues and OverflowError
-        for residues in the overflow-detection window between the positive
-        and negative ranges.
+        Negative exponents divide int by int so precision survives until
+        the single final conversion to float (upstream issue 62 / PR 73).
         """
-        if self.encoding >= self.public_key.n:
-            raise ValueError("Attempted to decode corrupted number")
-        elif self.encoding <= self.public_key.max_int:
-            mantissa = self.encoding
-        elif self.encoding >= self.public_key.n - self.public_key.max_int:
-            mantissa = self.encoding - self.public_key.n
-        else:
-            raise OverflowError("Overflow detected in decrypted number")
-
+        mantissa = self._signed_mantissa()
         if self.exponent >= 0:
-            return mantissa * self.BASE ** self.exponent
-        else:
-            # int / int division keeps exactness until the final float
-            # conversion (reference issue 62 / PR 73 behaviour).
-            try:
-                return mantissa / self.BASE ** -self.exponent
-            except OverflowError as e:
-                raise OverflowError("decoded result too large for a float") from e
+            return mantissa * self.BASE**self.exponent
+        try:
+            return mantissa / self.BASE**-self.exponent
+        except OverflowError as e:
+            raise OverflowError("decoded result too large for a float") from e
 
     def decrease_exponent_to(self, new_exp):
-        """Re-represent with a lower exponent (phe/encoding.py:235-265)."""
+        """The same value at a finer exponent: mantissa *= BASE**diff mod n."""
         if new_exp > self.exponent:
             raise ValueError(
-                "New exponent %i should be more negative than"
-                "old exponent %i" % (new_exp, self.exponent)
+                "%i is not lower than the current exponent %i"
+                % (new_exp, self.exponent)
             )
-        factor = pow(self.BASE, self.exponent - new_exp)
-        new_enc = self.encoding * factor % self.public_key.n
-        return self.__class__(self.public_key, new_enc, new_exp)
+        shifted = (
+            self.encoding * pow(self.BASE, self.exponent - new_exp)
+        ) % self.public_key.n
+        return self.__class__(self.public_key, shifted, new_exp)

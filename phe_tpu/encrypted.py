@@ -1,25 +1,15 @@
-"""Operator algebra over Paillier ciphertexts (the scalar, host-int API).
+"""Scalar ciphertext algebra: one host integer per EncryptedNumber.
 
-Behavioural contract (SURVEY.md §7 items 6-8, phe/paillier.py:442-752):
+The homomorphisms are D(E(a) * E(b)) = a + b and D(E(a)^k) = a * k; this
+module dresses them as ordinary ``+``/``-``/``*``/``/`` against plaintext
+scalars and other ciphertexts, with the fixed-point exponent bookkeeping
+that makes float arithmetic come out right (contract per
+phe/paillier.py:442-752 and the vendored obfuscation-state tests).
 
-* ``+`` dispatches on EncryptedNumber / EncodedNumber / scalar; ``sum()`` and
-  numpy object arrays work through ``__radd__`` / ``__rmul__``.
-* enc x enc multiplication raises NotImplementedError; ``/`` multiplies by
-  the reciprocal.
-* adding aligns exponents by multiplying the higher-exponent operand by
-  BASE**diff (phe/paillier.py:664-669); scalar adds encode at
-  max_exponent=self.exponent (:640-641); multiplying adds exponents (:515).
-* the lazy obfuscation state machine: results of + and * are NOT obfuscated;
-  ``ciphertext(be_secure=True)`` obfuscates on first secure read
-  (:531-568, :603-624).
-* ``_raw_mul`` uses the modular-inverse trick for plaintexts in the negative
-  window so the effective exponent stays small (:721-751).
-
-This module is deliberately host-only: one EncryptedNumber wraps one CPython
-int ciphertext, mirroring the reference's API for drop-in parity. Bulk work
-belongs in phe_tpu.batch, which carries thousands of ciphertexts as limb
-tensors on the TPU and interoperates with this class via
-``phe_tpu.batch.EncryptedBatch.from_encrypted_numbers`` / ``.to_encrypted_numbers``.
+Scope note: this is the drop-in scalar surface. It exists for parity,
+interop and small hosts; anything measured in batches belongs in
+phe_tpu.batch.EncryptedBatch, which holds ciphertexts as Montgomery limb
+tensors on the TPU and converts to/from this class at the boundary.
 """
 
 from phe_tpu.encoding import EncodedNumber
@@ -27,48 +17,148 @@ from phe_tpu.keys import PaillierPublicKey
 from phe_tpu.utils.ntheory import invert, mulmod, powmod
 
 
-class EncryptedNumber(object):
-    """One Paillier ciphertext with its encoding exponent.
+def _require_shared_key(mine, theirs):
+    if mine != theirs:
+        raise ValueError(
+            "operands live under different public keys; homomorphic "
+            "combination is only defined within one key"
+        )
 
-    D(E(a) * E(b)) = a + b and D(E(a)**k) = a * k; the operator overloads
-    below expose this as ordinary + and * against plaintext scalars and
-    other ciphertexts (reference: phe/paillier.py:442-488).
+
+class EncryptedNumber(object):
+    """A Paillier ciphertext int plus its fixed-point encoding exponent.
+
+    Blinding is lazy (the expensive r^n factor is skipped on derived
+    results) and tracked in ``__is_obfuscated``; reading the ciphertext
+    for anything that leaves the trust boundary must go through
+    ``ciphertext(be_secure=True)``, which blinds on first secure read.
     """
 
     def __init__(self, public_key, ciphertext, exponent=0):
-        self.public_key = public_key
-        self.__ciphertext = ciphertext
-        self.exponent = exponent
-        self.__is_obfuscated = False
-        if isinstance(self.ciphertext, EncryptedNumber):
-            raise TypeError("ciphertext should be an integer")
-        if not isinstance(self.public_key, PaillierPublicKey):
+        # Parity quirk: a nested EncryptedNumber is NOT rejected — the
+        # reference's guard (phe/paillier.py:485) tests the bound method
+        # `self.ciphertext`, never the value, so it accepts nesting too.
+        if not isinstance(public_key, PaillierPublicKey):
             raise TypeError("public_key should be a PaillierPublicKey")
+        self.public_key = public_key
+        self.exponent = exponent
+        self.__raw = ciphertext
+        self.__is_obfuscated = False
+
+    # -- ciphertext access and blinding ----------------------------------
+
+    def ciphertext(self, be_secure=True):
+        """The ciphertext integer; blinds first when be_secure.
+
+        Derived results (sums, scalings) carry no fresh randomness —
+        releasing them raw would let the recipient relate them to their
+        inputs. The first be_secure read pays one r^n modexp and the
+        state sticks, so later reads are free.
+        """
+        if be_secure and not self.__is_obfuscated:
+            self.obfuscate()
+        return self.__raw
+
+    def obfuscate(self):
+        """Multiply in a fresh r^n blinding factor (phe/paillier.py:603-624)."""
+        pub = self.public_key
+        r = pub.get_random_lt_n()
+        self.__raw = mulmod(
+            self.__raw, powmod(r, pub.n, pub.nsquare), pub.nsquare
+        )
+        self.__is_obfuscated = True
+
+    # -- exponent management ----------------------------------------------
+
+    def decrease_exponent_to(self, new_exp):
+        """Re-express at a lower exponent: scale the mantissa by BASE^diff.
+
+        The scaling rides the multiply homomorphism, so this is a hidden
+        modexp — the cost alignment pays whenever two operands disagree.
+        """
+        if new_exp > self.exponent:
+            raise ValueError(
+                "%i is not lower than the current exponent %i"
+                % (new_exp, self.exponent)
+            )
+        scaled = self * pow(EncodedNumber.BASE, self.exponent - new_exp)
+        scaled.exponent = new_exp
+        return scaled
+
+    def _at_exponent(self, target):
+        """Self, re-encoded at ``target`` if not already there."""
+        return self if self.exponent == target else self.decrease_exponent_to(
+            target
+        )
+
+    # -- addition ----------------------------------------------------------
 
     def __add__(self, other):
         if isinstance(other, EncryptedNumber):
-            return self._add_encrypted(other)
-        elif isinstance(other, EncodedNumber):
-            return self._add_encoded(other)
-        else:
-            return self._add_scalar(other)
+            return self._plus_encrypted(other)
+        if isinstance(other, EncodedNumber):
+            return self._plus_encoded(other)
+        # Plain scalar: encode no finer than our own exponent — extra
+        # precision would be thrown away by alignment anyway
+        # (phe/paillier.py:640-641).
+        return self._plus_encoded(
+            EncodedNumber.encode(
+                self.public_key, other, max_exponent=self.exponent
+            )
+        )
 
     def __radd__(self, other):
         return self.__add__(other)
 
+    def _plus_encrypted(self, other):
+        """E(a) + E(b): align exponents, multiply ciphertexts mod n^2."""
+        _require_shared_key(self.public_key, other.public_key)
+        target = min(self.exponent, other.exponent)
+        a = self._at_exponent(target)
+        b = other._at_exponent(target)
+        total = mulmod(
+            a.ciphertext(False), b.ciphertext(False), self.public_key.nsquare
+        )
+        return EncryptedNumber(self.public_key, total, target)
+
+    def _plus_encoded(self, encoded):
+        """E(a) + plaintext b: absorb b's unblinded ciphertext.
+
+        The plaintext side enters as g^b with no r^n factor — blinding an
+        operand the caller already knows would be spent randomness
+        (phe/paillier.py:645-676).
+        """
+        _require_shared_key(self.public_key, encoded.public_key)
+        target = min(self.exponent, encoded.exponent)
+        a = self._at_exponent(target)
+        b = encoded if encoded.exponent == target else (
+            encoded.decrease_exponent_to(target)
+        )
+        total = mulmod(
+            a.ciphertext(False),
+            self.public_key._nude_ciphertext(b.encoding),
+            self.public_key.nsquare,
+        )
+        return EncryptedNumber(self.public_key, total, target)
+
+    # -- scaling -----------------------------------------------------------
+
     def __mul__(self, other):
-        """Multiply by an int, float or EncodedNumber scalar."""
         if isinstance(other, EncryptedNumber):
-            raise NotImplementedError("Good luck with that...")
-
-        if isinstance(other, EncodedNumber):
-            encoding = other
-        else:
-            encoding = EncodedNumber.encode(self.public_key, other)
-        product = self._raw_mul(encoding.encoding)
-        exponent = self.exponent + encoding.exponent
-
-        return EncryptedNumber(self.public_key, product, exponent)
+            raise NotImplementedError(
+                "the product of two Paillier ciphertexts is not "
+                "computable; the scheme is additively homomorphic only"
+            )
+        encoding = (
+            other
+            if isinstance(other, EncodedNumber)
+            else EncodedNumber.encode(self.public_key, other)
+        )
+        return EncryptedNumber(
+            self.public_key,
+            self._raw_mul(encoding.encoding),
+            self.exponent + encoding.exponent,
+        )
 
     def __rmul__(self, other):
         return self.__mul__(other)
@@ -82,125 +172,24 @@ class EncryptedNumber(object):
     def __truediv__(self, scalar):
         return self.__mul__(1 / scalar)
 
-    def ciphertext(self, be_secure=True):
-        """The raw int ciphertext, obfuscating first if be_secure.
-
-        Sums and products skip the expensive r^n blinding; any ciphertext
-        that leaves trust boundaries must be read with be_secure=True, which
-        obfuscates on demand (reference: phe/paillier.py:531-568).
-        """
-        if be_secure and not self.__is_obfuscated:
-            self.obfuscate()
-
-        return self.__ciphertext
-
-    def decrease_exponent_to(self, new_exp):
-        """Same value, lower exponent: multiply by BASE**(old-new).
-
-        Reference: phe/paillier.py:570-601.
-        """
-        if new_exp > self.exponent:
-            raise ValueError(
-                "New exponent %i should be more negative than "
-                "old exponent %i" % (new_exp, self.exponent)
-            )
-        multiplied = self * pow(EncodedNumber.BASE, self.exponent - new_exp)
-        multiplied.exponent = new_exp
-        return multiplied
-
-    def obfuscate(self):
-        """Blind the ciphertext with a fresh r^n factor.
-
-        Reference: phe/paillier.py:603-624. Required before sharing any
-        ciphertext derived by homomorphic ops from known ciphertexts.
-        """
-        r = self.public_key.get_random_lt_n()
-        r_pow_n = powmod(r, self.public_key.n, self.public_key.nsquare)
-        self.__ciphertext = mulmod(
-            self.__ciphertext, r_pow_n, self.public_key.nsquare
-        )
-        self.__is_obfuscated = True
-
-    def _add_scalar(self, scalar):
-        """E(a) + b: encode b at this ciphertext's exponent and add.
-
-        Reference: phe/paillier.py:626-643.
-        """
-        encoded = EncodedNumber.encode(
-            self.public_key, scalar, max_exponent=self.exponent
-        )
-        return self._add_encoded(encoded)
-
-    def _add_encoded(self, encoded):
-        """E(a) + encoded b via E(a) * E(b) mod n^2 with r=1.
-
-        Aligns exponents first (reference: phe/paillier.py:645-676).
-        """
-        if self.public_key != encoded.public_key:
-            raise ValueError(
-                "Attempted to add numbers encoded against "
-                "different public keys!"
-            )
-
-        a, b = self, encoded
-        if a.exponent > b.exponent:
-            a = self.decrease_exponent_to(b.exponent)
-        elif a.exponent < b.exponent:
-            b = b.decrease_exponent_to(a.exponent)
-
-        # r=1: no blinding inside a local computation (lazy obfuscation).
-        encrypted_scalar = a.public_key.raw_encrypt(b.encoding, 1)
-
-        sum_ciphertext = a._raw_add(a.ciphertext(False), encrypted_scalar)
-        return EncryptedNumber(a.public_key, sum_ciphertext, a.exponent)
-
-    def _add_encrypted(self, other):
-        """E(a) + E(b) = E(a) * E(b) mod n^2 after exponent alignment.
-
-        Reference: phe/paillier.py:678-703.
-        """
-        if self.public_key != other.public_key:
-            raise ValueError(
-                "Attempted to add numbers encrypted against "
-                "different public keys!"
-            )
-
-        a, b = self, other
-        if a.exponent > b.exponent:
-            a = self.decrease_exponent_to(b.exponent)
-        elif a.exponent < b.exponent:
-            b = b.decrease_exponent_to(a.exponent)
-
-        sum_ciphertext = a._raw_add(a.ciphertext(False), b.ciphertext(False))
-        return EncryptedNumber(a.public_key, sum_ciphertext, a.exponent)
-
-    def _raw_add(self, e_a, e_b):
-        """Homomorphic add of raw ciphertext ints: product mod n^2.
-
-        Reference: phe/paillier.py:705-719.
-        """
-        return mulmod(e_a, e_b, self.public_key.nsquare)
-
     def _raw_mul(self, plaintext):
-        """Raw scalar multiply: ciphertext**plaintext mod n^2.
+        """c^k mod n^2 for an integer residue k in [0, n).
 
-        For plaintexts in the negative window, exponentiates the ciphertext
-        inverse by n - plaintext to keep the exponent small
-        (reference: phe/paillier.py:721-751).
+        Residues in the negative window exponentiate the ciphertext's
+        modular inverse by the (short) complement n - k instead — same
+        plaintext, exponent the size of the encoded magnitude rather than
+        of n (phe/paillier.py:721-751).
         """
         if not isinstance(plaintext, int):
             raise TypeError(
-                "Expected ciphertext to be int, not %s" % type(plaintext)
+                "the encoded scalar must be an int, got %s" % type(plaintext)
             )
-
-        if plaintext < 0 or plaintext >= self.public_key.n:
-            raise ValueError("Scalar out of bounds: %i" % plaintext)
-
-        if self.public_key.n - self.public_key.max_int <= plaintext:
-            neg_c = invert(self.ciphertext(False), self.public_key.nsquare)
-            neg_scalar = self.public_key.n - plaintext
-            return powmod(neg_c, neg_scalar, self.public_key.nsquare)
+        pub = self.public_key
+        if not 0 <= plaintext < pub.n:
+            raise ValueError("scalar residue out of range: %i" % plaintext)
+        if plaintext >= pub.n - pub.max_int:
+            base = invert(self.ciphertext(False), pub.nsquare)
+            k = pub.n - plaintext
         else:
-            return powmod(
-                self.ciphertext(False), plaintext, self.public_key.nsquare
-            )
+            base, k = self.ciphertext(False), plaintext
+        return powmod(base, k, pub.nsquare)

@@ -1,22 +1,18 @@
-"""Paillier key generation, public/private keys and the private keyring.
+"""Key material for the TPU Paillier engine: generation, trapdoor, keyring.
 
-Behavioural contract (SURVEY.md §7 items 1-3, bit-exact vs the reference):
+This is the host-side key layer. It owns everything that happens once per
+key — prime search, trapdoor precomputation, random blinding draws — and
+hands per-key device constants to the batch engine lazily through
+``device_context()``. Scalar encrypt/decrypt on host integers lives here
+too, both as the small-n fallback and as the independent oracle the device
+kernels are tested against.
 
-* keygen — phe/paillier.py:37-68: p, q random primes of n_length/2 bits,
-  retried until ``n.bit_length() == n_length`` exactly, p != q enforced.
-* public key — phe/paillier.py:86-90: g = n+1, nsquare = n*n,
-  max_int = n//3 - 1; equality/hash on n.
-* raw_encrypt — phe/paillier.py:102-139: (n*m + 1) mod n^2 via the g = n+1
-  shortcut, the modular-inverse trick for plaintexts in (n - max_int, n),
-  obfuscator r^n mod n^2.
-* private key — phe/paillier.py:217-374: p < q normalised, CRT decrypt with
-  precomputed hp/hq, ``from_totient`` factorisation, equality/hash on (p, q).
-* keyring — phe/paillier.py:383-439.
-
-These classes are the host-facing scalar API. The TPU batch engine
-(phe_tpu.batch) attaches per-key device state lazily via
-``PaillierPublicKey.device_context`` / ``PaillierPrivateKey.device_context``
-so that scalar and batched code share one key object.
+Numeric semantics are pinned to the reference implementation
+(phe/paillier.py; regression vectors phe/tests/paillier_test.py:128-149):
+the simple-variant generator g = n+1, max_int = n//3 - 1, keygen retrying
+until the modulus hits the requested bit length exactly, and CRT
+decryption. The code below is this framework's own expression of that
+contract — see phe_tpu.batch for the batched device form of the same math.
 """
 
 import secrets
@@ -25,43 +21,62 @@ from collections.abc import Mapping
 from phe_tpu.encoding import EncodedNumber
 from phe_tpu.utils.ntheory import getprimeover, invert, isqrt, mulmod, powmod
 
-# Minimum 128-bit security (reference: phe/paillier.py:34).
+#: Default modulus size in bits (>= 128-bit security level).
 DEFAULT_KEYSIZE = 3072
 
 
 def generate_paillier_keypair(private_keyring=None, n_length=DEFAULT_KEYSIZE):
-    """Generate a fresh keypair; optionally registering it on a keyring.
+    """Draw a fresh Paillier keypair with an exactly n_length-bit modulus.
 
-    Retries prime generation until the modulus has exactly n_length bits,
-    with p != q (reference: phe/paillier.py:37-68).
+    Two independent primes of n_length/2 bits each; the draw repeats until
+    they differ and their product has the requested bit length (the product
+    of two k-bit primes has 2k or 2k-1 bits). Registers the private key on
+    ``private_keyring`` when one is given. Returns (public, private).
     """
-    p = q = n = None
-    while n is None or n.bit_length() != n_length:
-        p = getprimeover(n_length // 2)
-        q = p
-        while q == p:
-            q = getprimeover(n_length // 2)
-        n = p * q
+    half = n_length // 2
+    while True:
+        p = getprimeover(half)
+        q = getprimeover(half)
+        if p != q and (p * q).bit_length() == n_length:
+            break
 
-    public_key = PaillierPublicKey(n)
-    private_key = PaillierPrivateKey(public_key, p, q)
-
+    public = PaillierPublicKey(p * q)
+    private = PaillierPrivateKey(public, p, q)
     if private_keyring is not None:
-        private_keyring.add(private_key)
+        private_keyring.add(private)
+    return public, private
 
-    return public_key, private_key
+
+def _ell(x, d):
+    """Paillier's L function: the integer quotient (x - 1) / d.
+
+    Well-defined on the image of the decryption exponentials, where
+    x = 1 (mod d) always holds.
+    """
+    return (x - 1) // d
+
+
+def _crt_constant(g, d, dsquare):
+    """h_d = L(g^(d-1) mod d^2, d)^-1 mod d, one CRT leg's decrypt factor."""
+    return invert(_ell(powmod(g, d - 1, dsquare), d), d)
 
 
 class PaillierPublicKey(object):
-    """Paillier public key (n, g = n+1) with encryption methods.
+    """The encryption half of a Paillier keypair.
 
-    Attributes:
-      n, g, nsquare, max_int: as in the reference (phe/paillier.py:86-90).
+    Carries the modulus ``n`` and everything derived from it that
+    encryption and the homomorphic algebra need: ``g = n + 1`` (the
+    simple-variant generator whose power is a closed form, no modexp),
+    ``nsquare`` (the ciphertext ring), and ``max_int = n//3 - 1`` (the
+    magnitude bound splitting the plaintext ring into a positive window,
+    a negative window and a detectable-overflow gap; see
+    phe_tpu.encoding). Two public keys are interchangeable iff their
+    moduli match, so equality and hashing go through ``n``.
     """
 
     def __init__(self, n):
-        self.g = n + 1
         self.n = n
+        self.g = n + 1
         self.nsquare = n * n
         self.max_int = n // 3 - 1
         self._device_context = None
@@ -76,178 +91,117 @@ class PaillierPublicKey(object):
         return hash(self.n)
 
     def device_context(self):
-        """Packed per-key device state for the TPU batch engine (lazy)."""
+        """This key's packed device constants + batch programs (lazy)."""
         if self._device_context is None:
             from phe_tpu.batch import PublicDeviceContext
 
             self._device_context = PublicDeviceContext.build(self)
         return self._device_context
 
-    def raw_encrypt(self, plaintext, r_value=None):
-        """Raw Paillier encryption of an int residue mod n.
+    def get_random_lt_n(self):
+        """A blinding factor: uniform from the system CSPRNG in [1, n)."""
+        return 1 + secrets.randbelow(self.n - 1)
 
-        Uses the g = n+1 shortcut (n*m + 1 mod n^2) and, for residues in the
-        negative window, the modular-inverse trick that keeps the involved
-        numbers small (reference: phe/paillier.py:102-139).
+    def _nude_ciphertext(self, residue):
+        """g^residue mod n^2, unblinded, for a residue in [0, n).
+
+        With g = n+1 the power collapses to 1 + n*residue (binomial
+        expansion mod n^2; phe/paillier.py:132-134). Residues in the
+        negative window are routed through the modular inverse of their
+        complement's ciphertext so every intermediate integer stays near
+        n rather than n^2 (the reference's "inverse trick", :125-130).
+        """
+        negative = self.n - self.max_int <= residue < self.n
+        m = self.n - residue if negative else residue
+        c = (1 + self.n * m) % self.nsquare
+        return invert(c, self.nsquare) if negative else c
+
+    def raw_encrypt(self, plaintext, r_value=None):
+        """Encrypt an integer residue: g^m * r^n mod n^2.
+
+        ``r_value`` pins the blinding factor (tests, interop vectors);
+        by default a fresh CSPRNG draw is used. The r^n modexp is the
+        whole cost of an encryption — batched workloads should go through
+        phe_tpu.batch, which runs it on the TPU for the entire batch.
         """
         if not isinstance(plaintext, int):
             raise TypeError(
-                "Expected int type plaintext but got: %s" % type(plaintext)
+                "plaintext must already be encoded to int, got %s"
+                % type(plaintext)
             )
-
-        if self.n - self.max_int <= plaintext < self.n:
-            neg_plaintext = self.n - plaintext
-            neg_ciphertext = (self.n * neg_plaintext + 1) % self.nsquare
-            nude_ciphertext = invert(neg_ciphertext, self.nsquare)
-        else:
-            nude_ciphertext = (self.n * plaintext + 1) % self.nsquare
-
         r = r_value or self.get_random_lt_n()
-        obfuscator = powmod(r, self.n, self.nsquare)
-
-        return mulmod(nude_ciphertext, obfuscator, self.nsquare)
-
-    def get_random_lt_n(self):
-        """Cryptographically random int in [1, n) (phe/paillier.py:141-143)."""
-        return 1 + secrets.randbelow(self.n - 1)
+        blind = powmod(r, self.n, self.nsquare)
+        return mulmod(self._nude_ciphertext(plaintext), blind, self.nsquare)
 
     def encrypt(self, value, precision=None, r_value=None):
-        """Encode then encrypt an int or float (phe/paillier.py:145-175)."""
-        if isinstance(value, EncodedNumber):
-            encoding = value
-        else:
-            encoding = EncodedNumber.encode(self, value, precision)
-
+        """Encode (unless already encoded) and encrypt one number."""
+        encoding = (
+            value
+            if isinstance(value, EncodedNumber)
+            else EncodedNumber.encode(self, value, precision)
+        )
         return self.encrypt_encoded(encoding, r_value)
 
     def encrypt_encoded(self, encoding, r_value):
-        """Encrypt an EncodedNumber (phe/paillier.py:177-194).
+        """Encrypt an EncodedNumber into an EncryptedNumber.
 
-        With r_value None the heavy obfuscation modexp is applied through
-        EncryptedNumber.obfuscate, preserving the lazy-obfuscation state
-        machine of the reference.
+        Without a pinned r the blinding is applied through
+        EncryptedNumber.obfuscate so the lazy-obfuscation state machine
+        starts in the "fresh" state (phe/paillier.py:177-194 semantics).
         """
         from phe_tpu.encrypted import EncryptedNumber
 
-        obfuscator = r_value or 1
-        ciphertext = self.raw_encrypt(encoding.encoding, r_value=obfuscator)
-        encrypted_number = EncryptedNumber(self, ciphertext, encoding.exponent)
+        ciphertext = self.raw_encrypt(encoding.encoding, r_value=r_value or 1)
+        number = EncryptedNumber(self, ciphertext, encoding.exponent)
         if r_value is None:
-            encrypted_number.obfuscate()
-        return encrypted_number
+            number.obfuscate()
+        return number
 
 
 class PaillierPrivateKey(object):
-    """Paillier private key with CRT-accelerated decryption.
+    """The trapdoor half: the factorisation of n plus CRT decrypt state.
 
-    Stores p < q normalised and precomputes p^2, q^2, p^-1 mod q and the
-    CRT constants hp, hq (reference: phe/paillier.py:217-235).
+    Decryption runs one exponentiation per prime-square ring (exponents
+    p-1 and q-1, half the width of n) and recombines by CRT — the layout
+    the device decrypt pipeline mirrors limb-for-limb
+    (phe_tpu.batch._decrypt_dev). Precomputed here, reused everywhere:
+    ``psquare``/``qsquare``, ``p_inverse`` (p^-1 mod q) and the per-leg
+    factors ``hp``/``hq``. The factors are normalised so p < q. Equality
+    and hashing go through the factor pair.
     """
 
     def __init__(self, public_key, p, q):
-        if not p * q == public_key.n:
-            raise ValueError("given public key does not match the given p and q.")
+        if p * q != public_key.n:
+            raise ValueError("the factors given do not multiply to n")
         if p == q:
-            raise ValueError("p and q have to be different")
+            raise ValueError("the two factors must be distinct primes")
         self.public_key = public_key
-        if q < p:
-            self.p = q
-            self.q = p
-        else:
-            self.p = p
-            self.q = q
+        self.p, self.q = min(p, q), max(p, q)
         self.psquare = self.p * self.p
         self.qsquare = self.q * self.q
         self.p_inverse = invert(self.p, self.q)
-        self.hp = self.h_function(self.p, self.psquare)
-        self.hq = self.h_function(self.q, self.qsquare)
+        self.hp = _crt_constant(public_key.g, self.p, self.psquare)
+        self.hq = _crt_constant(public_key.g, self.q, self.qsquare)
         self._device_context = None
 
     @staticmethod
     def from_totient(public_key, totient):
-        """Recover (p, q) from Euler's totient (phe/paillier.py:237-262)."""
-        p_plus_q = public_key.n - totient + 1
-        p_minus_q = isqrt(p_plus_q * p_plus_q - public_key.n * 4)
-        q = (p_plus_q - p_minus_q) // 2
-        p = p_plus_q - q
-        if not p * q == public_key.n:
-            raise ValueError("given public key and totient do not match.")
+        """Rebuild the factors from Euler's totient of n.
+
+        p and q are the roots of x^2 - s*x + n with s = p + q
+        = n - totient + 1, recovered by integer square root
+        (phe/paillier.py:237-262 semantics).
+        """
+        s = public_key.n - totient + 1
+        gap = isqrt(s * s - 4 * public_key.n)
+        p = (s - gap) // 2
+        q = s - p
+        if p * q != public_key.n:
+            raise ValueError("the totient does not belong to this modulus")
         return PaillierPrivateKey(public_key, p, q)
 
     def __repr__(self):
         return "<PaillierPrivateKey for {}>".format(repr(self.public_key))
-
-    def device_context(self):
-        """Packed per-key device state for batched CRT decryption (lazy)."""
-        if self._device_context is None:
-            from phe_tpu.batch import PrivateDeviceContext
-
-            self._device_context = PrivateDeviceContext.build(self)
-        return self._device_context
-
-    def decrypt(self, encrypted_number):
-        """Decrypt and decode (phe/paillier.py:268-291)."""
-        encoded = self.decrypt_encoded(encrypted_number)
-        return encoded.decode()
-
-    def decrypt_encoded(self, encrypted_number, Encoding=None):
-        """Decrypt to an EncodedNumber (phe/paillier.py:293-326).
-
-        The optional Encoding class supports alternative bases, as in
-        examples/alternative_base.py.
-        """
-        from phe_tpu.encrypted import EncryptedNumber
-
-        if not isinstance(encrypted_number, EncryptedNumber):
-            raise TypeError(
-                "Expected encrypted_number to be an EncryptedNumber"
-                " not: %s" % type(encrypted_number)
-            )
-
-        if self.public_key != encrypted_number.public_key:
-            raise ValueError(
-                "encrypted_number was encrypted against a different key!"
-            )
-
-        if Encoding is None:
-            Encoding = EncodedNumber
-
-        encoded = self.raw_decrypt(encrypted_number.ciphertext(be_secure=False))
-        return Encoding(self.public_key, encoded, encrypted_number.exponent)
-
-    def raw_decrypt(self, ciphertext):
-        """CRT decryption of a raw int ciphertext (phe/paillier.py:328-354)."""
-        if not isinstance(ciphertext, int):
-            raise TypeError(
-                "Expected ciphertext to be an int, not: %s" % type(ciphertext)
-            )
-
-        decrypt_to_p = mulmod(
-            self.l_function(powmod(ciphertext, self.p - 1, self.psquare), self.p),
-            self.hp,
-            self.p,
-        )
-        decrypt_to_q = mulmod(
-            self.l_function(powmod(ciphertext, self.q - 1, self.qsquare), self.q),
-            self.hq,
-            self.q,
-        )
-        return self.crt(decrypt_to_p, decrypt_to_q)
-
-    def h_function(self, x, xsquare):
-        """Paillier's h-function for CRT decryption (phe/paillier.py:356-360)."""
-        return invert(
-            self.l_function(powmod(self.public_key.g, x - 1, xsquare), x), x
-        )
-
-    def l_function(self, x, p):
-        """L(x, p) = (x - 1) // p (phe/paillier.py:362-364)."""
-        return (x - 1) // p
-
-    def crt(self, mp, mq):
-        """Recombine the mod-p and mod-q residues (phe/paillier.py:366-374)."""
-        u = mulmod(mq - mp, self.p_inverse, self.q)
-        return mp + (u * self.p)
 
     def __eq__(self, other):
         return self.p == other.p and self.q == other.q
@@ -255,37 +209,95 @@ class PaillierPrivateKey(object):
     def __hash__(self):
         return hash((self.p, self.q))
 
+    def device_context(self):
+        """This key's packed CRT device constants (lazy)."""
+        if self._device_context is None:
+            from phe_tpu.batch import PrivateDeviceContext
 
-class PaillierPrivateKeyring(Mapping):
-    """Mapping from public key to private key (phe/paillier.py:383-439)."""
+            self._device_context = PrivateDeviceContext.build(self)
+        return self._device_context
 
-    def __init__(self, private_keys=None):
-        if private_keys is None:
-            private_keys = []
-        self.__keyring = {k.public_key: k for k in private_keys}
+    def _half_decrypt(self, ciphertext, d, dsquare, h):
+        """One CRT leg: m mod d = L(c^(d-1) mod d^2, d) * h_d mod d."""
+        return mulmod(_ell(powmod(ciphertext, d - 1, dsquare), d), h, d)
 
-    def __getitem__(self, key):
-        return self.__keyring[key]
-
-    def __len__(self):
-        return len(self.__keyring)
-
-    def __iter__(self):
-        return iter(self.__keyring)
-
-    def __delitem__(self, public_key):
-        del self.__keyring[public_key]
-
-    def add(self, private_key):
-        """Register a private key, keyed by its public key."""
-        if not isinstance(private_key, PaillierPrivateKey):
+    def raw_decrypt(self, ciphertext):
+        """Plaintext residue in [0, n) of a raw integer ciphertext."""
+        if not isinstance(ciphertext, int):
             raise TypeError(
-                "private_key should be of type PaillierPrivateKey, "
-                "not %s" % type(private_key)
+                "ciphertext must be an int, got %s" % type(ciphertext)
             )
-        self.__keyring[private_key.public_key] = private_key
+        mp = self._half_decrypt(ciphertext, self.p, self.psquare, self.hp)
+        mq = self._half_decrypt(ciphertext, self.q, self.qsquare, self.hq)
+        # CRT lift: add the multiple of p that moves mp onto mq mod q.
+        return mp + mulmod(mq - mp, self.p_inverse, self.q) * self.p
 
     def decrypt(self, encrypted_number):
-        """Decrypt with whichever stored key matches the ciphertext's."""
-        relevant_private_key = self.__keyring[encrypted_number.public_key]
-        return relevant_private_key.decrypt(encrypted_number)
+        """Decrypt and decode back to the original int/float."""
+        return self.decrypt_encoded(encrypted_number).decode()
+
+    def decrypt_encoded(self, encrypted_number, Encoding=None):
+        """Decrypt to an EncodedNumber, optionally of a custom Encoding.
+
+        ``Encoding`` supports alternative-base encodings
+        (examples/alternative_base.py). Reads the ciphertext with
+        be_secure=False: decryption happens inside the trust boundary, so
+        no blinding is spent on it.
+        """
+        from phe_tpu.encrypted import EncryptedNumber
+
+        if not isinstance(encrypted_number, EncryptedNumber):
+            raise TypeError(
+                "decrypt expects an EncryptedNumber, got %s"
+                % type(encrypted_number)
+            )
+        if self.public_key != encrypted_number.public_key:
+            raise ValueError(
+                "this key cannot decrypt a ciphertext made under a "
+                "different public key"
+            )
+        if Encoding is None:
+            Encoding = EncodedNumber
+        residue = self.raw_decrypt(encrypted_number.ciphertext(be_secure=False))
+        return Encoding(self.public_key, residue, encrypted_number.exponent)
+
+
+class PaillierPrivateKeyring(Mapping):
+    """A read-mostly mapping from public key to its private key.
+
+    Lets multi-key services route ciphertexts to the right trapdoor:
+    ``ring.decrypt(enc)`` looks up ``enc.public_key``. Mapping semantics
+    (len/iter/getitem over public keys) per phe/paillier.py:383-439.
+    """
+
+    def __init__(self, private_keys=None):
+        self._by_public = {}
+        for key in private_keys or []:
+            self.add(key)
+
+    def __getitem__(self, public_key):
+        return self._by_public[public_key]
+
+    def __len__(self):
+        return len(self._by_public)
+
+    def __iter__(self):
+        return iter(self._by_public)
+
+    def __delitem__(self, public_key):
+        del self._by_public[public_key]
+
+    def add(self, private_key):
+        """Register a private key under its own public key."""
+        if not isinstance(private_key, PaillierPrivateKey):
+            raise TypeError(
+                "only PaillierPrivateKey objects belong on a keyring, "
+                "got %s" % type(private_key)
+            )
+        self._by_public[private_key.public_key] = private_key
+
+    def decrypt(self, encrypted_number):
+        """Decrypt with the stored key matching the ciphertext's."""
+        return self._by_public[encrypted_number.public_key].decrypt(
+            encrypted_number
+        )
