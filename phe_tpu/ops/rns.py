@@ -1,0 +1,496 @@
+"""RNS Montgomery arithmetic: modexp as MXU matmuls + tiny per-channel ops.
+
+This is the second-generation engine for the Paillier hot kernels
+(obfuscation r^n mod n^2, phe/paillier.py:136-139; CRT decrypt powers,
+:346-353). The first-generation engine (phe_tpu.ops.pallas_modexp) keeps
+big integers as base-2^14 limb vectors and pays O(L^2) *data-dependent*
+VPU multiplies per Montgomery product for the a*b schoolbook; the measured
+roofline (phe_tpu.profiling) shows that path saturating the VPU's u32
+multiply issue rate at ~2.8k encrypts/s — a hard ceiling well short of the
+100x-gmpy2 target. This module removes the VPU bottleneck by changing the
+number system instead of the schedule:
+
+**Residue Number System.** A value x < 2kN lives as its residues modulo
+~2k independent 14-bit primes (channels). Multiplication and addition are
+then *elementwise per channel* — O(k) VPU work with no carries and no
+cross-channel traffic. The only structural steps are the two *base
+extensions* inside Montgomery reduction, and each is a matrix product
+against a **constant** matrix — exactly the shape the MXU wants (the
+Cox-Rower observation from hardware RSA accelerators: Kawamura et al.,
+CHES 2000; base-extension algebra per Bajard et al. / Shenoy-Kumaresan).
+Per Montgomery product the arithmetic is ~30 VPU lane-ops per channel
+plus two int8 MXU matmuls — versus L^2 data-dependent VPU multiplies in
+the limb engine.
+
+Algorithm (one Montgomery product, modulus N, radix M_A)
+========================================================
+Channel sets: base A = primes a_1..a_k (product M_A), base B = b_1..b_k
+(product M_B), one redundant channel m_r; all distinct primes in
+(2^13, 2^14). Values are represented by canonical residues in **all**
+channels. Requirements: M_A >= 4kN and M_B >= 4kN; chain invariant
+x, y <= 2kN.
+
+1. t_c = x_c * y_c mod m_c                          (all channels)
+2. sigma_i = t_i * c_i mod a_i, with the folded constant
+   c_i = (-N^-1 * (M_A/a_i)^-1) mod a_i            (base A)
+   => the integer  q^ := sum_i sigma_i * (M_A/a_i)  satisfies
+   q^ = q + e*M_A with q = t*(-N^-1) mod M_A and 0 <= e < k.
+3. Extension 1 (offset-tolerant — e never needs to be known): q^ mod m_j
+   for j in B u {r}, via the constant matrix
+   W1[j, i] = (M_A/a_i) mod m_j.                                [MXU]
+4. u_j = ((t_j + q^_j * N) / M_A) mod m_j
+       = (t_j * (M_A^-1 mod m_j) + q^_j * (N * M_A^-1 mod m_j)) mod m_j.
+   The division is exact: t + q^N = 0 mod M_A. As an integer,
+   u = (xy + q^N)/M_A <= xy/M_A + kN <= (2kN)^2/(4kN) + kN = 2kN,
+   so the chain invariant closes and u < M_B.
+5. tau_j = u_j * ((M_B/b_j)^-1) mod b_j             (base B)
+   => the integer  S := sum_j tau_j * (M_B/b_j) = u + beta*M_B, beta < k.
+6. Extension 2 (exact, Shenoy-Kumaresan): S mod m_i for i in A u {r}
+   via W2[i, j] = (M_B/b_j) mod m_i.                            [MXU]
+   beta = (S_r - u_r) * (M_B^-1 mod m_r) mod m_r — exact because
+   beta < k < m_r and u_r was produced by step 4.
+   u_i = (S_i + beta * ((-M_B) mod a_i)) mod a_i     (base A)
+Result: u = x*y*M_A^-1 (mod N), u <= 2kN, known in every channel.
+
+Exponentiation enters the Montgomery domain by one product against the
+residues of (M_A^2 mod N), runs the standard MSB-first windowed ladder
+(same digit schedules as phe_tpu.ops.montgomery), and leaves by one
+product against the all-ones residue vector (the integer 1) — giving
+x^e mod N up to a multiple of N, bounded by kN + 1, which the limb
+engine's to_mont absorbs directly (value << 2^8 R).
+
+MXU exactness
+=============
+Channel residues are canonical < 2^14, so both 7-bit digits of every
+operand and matrix entry are <= 127: plain int8 operands. A digit-product
+sum spans <= 2k <= 2^10.3 terms of <= 127^2, staying under 2^24 — exact
+in int32. The three digit blocks recombine as c0 + 2^7 c1 + 2^14 c2 with
+staged Barrett reductions keeping every intermediate under 2^30. The
+binary->RNS conversion is the one matmul whose inputs may be *redundant*
+limbs (<= 2^14, high digit 128): there the high digits are biased by -64
+into int8 range and the matmul output is restored with a precomputed
+compensation vector, as in montgomery._build_redc_matrices.
+
+Barrett channel reduction
+=========================
+mu_c = floor(2^28 / m_c); for x < 2^30:
+  q = ((x >> 14) * mu) >> 14  satisfies  x/m - 8 < q <= x/m
+(m > 2^13 so 2^14/m < 2; q*m <= x and q < 2^17 keep everything in
+uint32), hence r = x - q*m is in [0, 8m) and a (4m, 2m, m) conditional-
+subtract ladder lands in [0, m).
+
+This module is the host-side system builder plus the XLA reference
+implementation (bit-exact twin of the fused Pallas kernel in
+phe_tpu.ops.pallas_rns, and the CPU fallback path).
+"""
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from phe_tpu.ops import limb_math as lm
+from phe_tpu.utils import limbs as hl
+
+DEFAULT_WINDOW = 4
+_SPARE = 8  # channel rows past 2k: [r, r replicas] so the axis tiles
+
+
+class RNSSystem(NamedTuple):
+    """Host-built constants for one modulus N. All arrays device-ready.
+
+    Channel layout (cpad = 2k + 8 rows): [0:k] base A, [k:2k] base B,
+    [2k] the redundant channel m_r, [2k+1:] replicas of m_r (padding; they
+    compute duplicate values and are never read).
+    """
+
+    # per-channel vectors [cpad] uint32
+    m: jnp.ndarray  # channel moduli
+    mu: jnp.ndarray  # floor(2^28 / m)
+    t14: jnp.ndarray  # 2^14 mod m
+    c_sigma: jnp.ndarray  # A rows: -N^-1 (M_A/a_i)^-1 mod a_i; 0 elsewhere
+    d_mainv: jnp.ndarray  # B u r rows: M_A^-1 mod m_j; 0 elsewhere
+    e_nmainv: jnp.ndarray  # B u r rows: N M_A^-1 mod m_j; 0 elsewhere
+    c_tau: jnp.ndarray  # B rows: (M_B/b_j)^-1 mod b_j; 0 elsewhere
+    neg_mb: jnp.ndarray  # A rows: (-M_B) mod a_i; 0 elsewhere
+    one_dom: jnp.ndarray  # residues of M_A mod N (Montgomery-domain 1)
+    r2_dom: jnp.ndarray  # residues of M_A^2 mod N (domain entry factor)
+    w_r: jnp.ndarray  # B rows: (M_B/b_j) mod m_r (from_rns beta row)
+
+    # scalars packed as [1] uint32
+    mbinv_r: jnp.ndarray  # M_B^-1 mod m_r
+    m_r: jnp.ndarray
+    mu_r: jnp.ndarray
+
+    # int8 digit-block matrices ([3K, 2C] layout, see _digit_blocks)
+    w_ext1: jnp.ndarray  # [3(k+8), 2k]: (M_A/a_i) mod m_j, j in B u r u pads
+    w_ext2: jnp.ndarray  # [3(k+8), 2k]: (M_B/b_j) mod m_i, i in A u r u pads
+    w_out: jnp.ndarray  # [3*out_limbs, 2k]: limbs of (M_B/b_j)
+    neg_mb_limbs: jnp.ndarray  # [out_limbs]: (2^(14 out_limbs) - M_B) limbs
+
+    # Static geometry is derived from array shapes (a NamedTuple's int
+    # fields would become traced pytree leaves under jit, breaking the
+    # static slicing below).
+    @property
+    def cpad(self):
+        return self.m.shape[0]
+
+    @property
+    def k(self):
+        return (self.cpad - _SPARE) // 2
+
+    @property
+    def out_limbs(self):
+        return self.neg_mb_limbs.shape[0]
+
+
+def _primes_below(top, count):
+    """The `count` largest primes below `top` (descending), sieve-based."""
+    sieve = np.ones(top, dtype=bool)
+    sieve[:2] = False
+    for i in range(2, int(top**0.5) + 1):
+        if sieve[i]:
+            sieve[i * i :: i] = False
+    ps = np.nonzero(sieve)[0][::-1]
+    if len(ps) < count:
+        raise ValueError(
+            "not enough primes below %d for %d channels" % (top, count)
+        )
+    return [int(p) for p in ps[:count]]
+
+
+def _digit_blocks(entries):
+    """uint32 [K, C] canonical < 2^14 -> int8 [3K, 2C] block matrix.
+
+    Against an input digit stack [x_lo; x_hi] the three output blocks are
+    c0 = lo@x_lo, c1 = hi@x_lo + lo@x_hi, c2 = hi@x_hi, so that
+    value = c0 + 2^7 c1 + 2^14 c2 exactly.
+    """
+    e = np.asarray(entries, dtype=np.uint32)
+    lo = (e & 0x7F).astype(np.int8)
+    hi = (e >> 7).astype(np.int8)
+    z = np.zeros_like(lo)
+    return jnp.asarray(np.block([[lo, z], [hi, lo], [z, hi]]))
+
+
+def build_rns(modulus):
+    """Construct the RNS system for one modulus N (host, Python ints)."""
+    N = int(modulus)
+    nbits = N.bit_length()
+    # k channels per base at >= 13 bits each; both base products must
+    # clear 4kN. k feeds back into the bound, so iterate.
+    k = -(-(nbits + 16) // 13)
+    while True:
+        k = -(-k // 8) * 8
+        primes = _primes_below(1 << 14, 2 * k + 1)
+        if min(primes) <= (1 << 13):
+            raise ValueError("modulus too large for 14-bit RNS channels")
+        A, B, m_r = primes[0:k], primes[k : 2 * k], primes[2 * k]
+        M_A = M_B = 1
+        for a in A:
+            M_A *= a
+        for b in B:
+            M_B *= b
+        if M_A >= 4 * k * N and M_B >= 4 * k * N:
+            break
+        k += 8
+
+    cpad = 2 * k + _SPARE
+    chans = A + B + [m_r] * _SPARE
+    marr = np.array(chans, dtype=np.uint32)
+
+    ninv = pow(N, -1, M_A)
+    c_sigma = np.zeros(cpad, np.uint32)
+    for i, a in enumerate(A):
+        c_sigma[i] = (-ninv * pow(M_A // a, -1, a)) % a
+
+    d_mainv = np.zeros(cpad, np.uint32)
+    e_nmainv = np.zeros(cpad, np.uint32)
+    for j in range(k, cpad):
+        mj = chans[j]
+        inv = pow(M_A % mj, -1, mj)
+        d_mainv[j] = inv
+        e_nmainv[j] = (N % mj) * inv % mj
+
+    c_tau = np.zeros(cpad, np.uint32)
+    for j, b in enumerate(B):
+        c_tau[k + j] = pow(M_B // b, -1, b)
+
+    neg_mb = np.zeros(cpad, np.uint32)
+    for i, a in enumerate(A):
+        neg_mb[i] = (-M_B) % a
+
+    one_dom = np.array([M_A % m for m in chans], dtype=np.uint32)
+    r2int = M_A * M_A % N
+    r2_dom = np.array([r2int % m for m in chans], dtype=np.uint32)
+
+    # Extension matrices. W1 rows: output channels B u r u pads (k+8),
+    # inputs sigma over A. W2 rows: A u r u pads, inputs tau over B.
+    w1 = np.zeros((k + _SPARE, k), np.uint32)
+    for jj in range(k + _SPARE):
+        mj = chans[k + jj]
+        for i, a in enumerate(A):
+            w1[jj, i] = (M_A // a) % mj
+    out_rows = A + [m_r] * _SPARE
+    w2 = np.zeros((k + _SPARE, k), np.uint32)
+    for ii in range(k + _SPARE):
+        mi = out_rows[ii]
+        for j, b in enumerate(B):
+            w2[ii, j] = (M_B // b) % mi
+
+    # From-RNS reconstruction: limbs of each M_B/b_j as matrix columns,
+    # the beta row, and the radix complement of M_B.
+    out_limbs = hl.num_limbs_for_bits(M_B.bit_length())
+    vout = np.zeros((out_limbs, k), np.uint32)
+    for j, b in enumerate(B):
+        vout[:, j] = hl.int_to_limbs(M_B // b, out_limbs)
+    w_r = np.zeros(cpad, np.uint32)
+    for j, b in enumerate(B):
+        w_r[k + j] = (M_B // b) % m_r
+    r_out = 1 << (lm.LIMB_BITS * out_limbs)
+
+    mu64 = (1 << 28) // marr.astype(np.uint64)
+    return RNSSystem(
+        m=jnp.asarray(marr),
+        mu=jnp.asarray(mu64.astype(np.uint32)),
+        t14=jnp.asarray(((1 << 14) % marr.astype(np.uint64)).astype(np.uint32)),
+        c_sigma=jnp.asarray(c_sigma),
+        d_mainv=jnp.asarray(d_mainv),
+        e_nmainv=jnp.asarray(e_nmainv),
+        c_tau=jnp.asarray(c_tau),
+        neg_mb=jnp.asarray(neg_mb),
+        one_dom=jnp.asarray(one_dom),
+        r2_dom=jnp.asarray(r2_dom),
+        w_r=jnp.asarray(w_r),
+        mbinv_r=jnp.asarray(np.array([pow(M_B % m_r, -1, m_r)], np.uint32)),
+        m_r=jnp.asarray(np.array([m_r], np.uint32)),
+        mu_r=jnp.asarray(np.array([(1 << 28) // m_r], np.uint32)),
+        w_ext1=_digit_blocks(w1),
+        w_ext2=_digit_blocks(w2),
+        w_out=_digit_blocks(vout),
+        neg_mb_limbs=jnp.asarray(hl.int_to_limbs(r_out - M_B, out_limbs)),
+    )
+
+
+class RNSConversion(NamedTuple):
+    """Binary->RNS matrix for one input width, with bias compensation.
+
+    w: int8 [3*cpad, 2*in_limbs] digit-block matrix of 2^(14 j) mod m_c.
+    comp: int32 [3*cpad] compensation restoring exact sums when input
+      high digits are biased by -64 (redundant limbs reach 2^14, whose
+      raw high digit 128 exceeds int8).
+    """
+
+    w: jnp.ndarray
+    comp: jnp.ndarray
+
+    @property
+    def in_limbs(self):
+        return self.w.shape[1] // 2
+
+
+def build_conversion(system, in_limbs):
+    """Conversion constants: binary limbs (redundant OK) -> all channels."""
+    m_np = np.asarray(system.m)
+    w = np.zeros((system.cpad, in_limbs), np.uint32)
+    for c in range(system.cpad):
+        mc = int(m_np[c])
+        w[c] = [pow(1 << lm.LIMB_BITS, j, mc) for j in range(in_limbs)]
+    blocks = _digit_blocks(w)
+    wn = np.asarray(blocks)
+    # High-digit input columns are the last in_limbs; biasing them by -64
+    # shifts each output row down by 64 * (sum of its hi columns).
+    comp = 64 * wn[:, in_limbs:].astype(np.int32).sum(axis=1)
+    return RNSConversion(w=blocks, comp=jnp.asarray(comp))
+
+
+# -- XLA reference implementation ---------------------------------------------
+#
+# Trailing-axis layout: residues are uint32[..., cpad]. This is the CPU
+# path and the bit-exact twin the Pallas kernel is tested against.
+
+
+def _mod(x, m, mu):
+    """Barrett: x < 2^30 -> x mod m, canonical (bounds in module docstring)."""
+    q = ((x >> 14) * mu) >> 14
+    r = x - q * m
+    for s in (2, 1, 0):
+        step = m << s
+        r = jnp.where(r >= step, r - step, r)
+    return r
+
+
+def _mulmod(x, y, m, mu):
+    return _mod(x * y, m, mu)
+
+
+def _digits_i8(x):
+    """Canonical values < 2^14 [..., C] -> int8 [..., 2C] (lo then hi)."""
+    lo = (x & 0x7F).astype(jnp.int8)
+    hi = (x >> 7).astype(jnp.int8)
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
+def _block_matmul(w, dig):
+    """w [3K, 2C] int8, dig [..., 2C] int8 -> (c0, c1, c2) int32 [..., K]."""
+    out = jax.lax.dot_general(
+        dig,
+        w,
+        (((dig.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [..., 3K]
+    K = w.shape[0] // 3
+    return out[..., :K], out[..., K : 2 * K], out[..., 2 * K :]
+
+
+def _combine_mod(c0, c1, c2, m, mu, t14):
+    """(c0 + 2^7 c1 + 2^14 c2) mod m for digit sums c* < 2^24.
+
+    Staged so every Barrett input stays < 2^30: c1 and c2 are reduced
+    first (each < 2^24), then folded at their scales (c1r << 7 < 2^21,
+    c2r * t14 < 2^28).
+    """
+    c0 = c0.astype(jnp.uint32)
+    c1r = _mod(c1.astype(jnp.uint32), m, mu)
+    c2r = _mod(c2.astype(jnp.uint32), m, mu)
+    d = _mod(c0 + (c1r << 7), m, mu)
+    return _mod(d + c2r * t14, m, mu)
+
+
+def rns_mont_mul(x, y, sys_):
+    """One RNS Montgomery product over [..., cpad] residue arrays.
+
+    In/out canonical residues; represented values <= 2kN in and out.
+    """
+    k = sys_.k
+    m, mu = sys_.m, sys_.mu
+    t = _mulmod(x, y, m, mu)
+    # sigma over base A (constants are 0 off-A; sliced for the matmul).
+    sigma = _mulmod(t[..., :k], sys_.c_sigma[:k], m[:k], mu[:k])
+    # Extension 1 -> q^ on B u r u pads.
+    c0, c1, c2 = _block_matmul(sys_.w_ext1, _digits_i8(sigma))
+    mj, muj, t14j = m[k:], mu[k:], sys_.t14[k:]
+    qhat = _combine_mod(c0, c1, c2, mj, muj, t14j)  # [..., k+8]
+    # u on B u r u pads: both products < 2^28, sum < 2^29.
+    u_br = _mod(
+        t[..., k:] * sys_.d_mainv[k:] + qhat * sys_.e_nmainv[k:], mj, muj
+    )
+    # tau over base B.
+    tau = _mulmod(
+        u_br[..., :k], sys_.c_tau[k : 2 * k], m[k : 2 * k], mu[k : 2 * k]
+    )
+    # Extension 2 -> S on A u r u pads; exact beta via the redundant row.
+    c0, c1, c2 = _block_matmul(sys_.w_ext2, _digits_i8(tau))
+    mi = jnp.concatenate([m[:k], m[2 * k :]])
+    mui = jnp.concatenate([mu[:k], mu[2 * k :]])
+    t14i = jnp.concatenate([sys_.t14[:k], sys_.t14[2 * k :]])
+    S = _combine_mod(c0, c1, c2, mi, mui, t14i)  # [..., k+8]
+    u_r = u_br[..., k : k + 1]  # channel r sits at index k of the B u r block
+    S_r = S[..., k : k + 1]
+    beta = _mod(
+        (S_r + (sys_.m_r - u_r)) * sys_.mbinv_r, sys_.m_r, sys_.mu_r
+    )  # exact: beta < k < m_r
+    u_a = _mod(S[..., :k] + beta * sys_.neg_mb[:k], m[:k], mu[:k])
+    return jnp.concatenate([u_a, u_br], axis=-1)
+
+
+def to_rns(limbs, conv, sys_):
+    """Binary limbs [..., Lin] (redundant <= 2^14 OK) -> [..., cpad].
+
+    High digits are biased into int8 range and compensated after the
+    matmul (conv.comp), so redundant limbs cost nothing extra.
+    """
+    x = limbs
+    lo = (x & 0x7F).astype(jnp.int32)
+    hi = (x >> 7).astype(jnp.int32) - 64
+    dig = jnp.concatenate([lo, hi], axis=-1).astype(jnp.int8)
+    out = jax.lax.dot_general(
+        dig,
+        conv.w,
+        (((dig.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = out + conv.comp  # exact non-negative digit sums < 2Lin * 2^14
+    C = sys_.cpad
+    return _combine_mod(
+        out[..., :C], out[..., C : 2 * C], out[..., 2 * C :],
+        sys_.m, sys_.mu, sys_.t14,
+    )
+
+
+def from_rns(u, sys_):
+    """Exact binary limbs of u < M_B from [..., cpad] canonical residues.
+
+    S = sum_j tau_j (M_B/b_j) lands as limb slots via the w_out digit
+    matmul; the Shenoy-Kumaresan beta (from the redundant channel) then
+    removes the beta*M_B excess using the radix complement — the result
+    is normalised with full carry propagation, so dropped top carries
+    remove exactly beta * 2^(14 out_limbs) and the value equals u.
+    """
+    k = sys_.k
+    m, mu = sys_.m, sys_.mu
+    tau = _mulmod(
+        u[..., k : 2 * k], sys_.c_tau[k : 2 * k], m[k : 2 * k], mu[k : 2 * k]
+    )
+    c0, c1, c2 = _block_matmul(sys_.w_out, _digits_i8(tau))
+    c0 = c0.astype(jnp.uint32)
+    c1 = c1.astype(jnp.uint32)
+    c2 = c2.astype(jnp.uint32)
+    shift_up = lambda a: jnp.concatenate(
+        [jnp.zeros_like(a[..., :1]), a[..., :-1]], axis=-1
+    )
+    # Limb slots: c0 + 2^7 c1 + 2^14 c2 with the 2^14-scale parts moved
+    # one limb up. Bounds: c0, c2 < 2^24, (c1 & 0x7F) << 7 < 2^14,
+    # shifted (c1 >> 7) + c2 < 2^17 + 2^24 < 2^25 => slots < 2^25.1.
+    slots = c0 + ((c1 & 0x7F) << 7) + shift_up((c1 >> 7) + c2)
+    # beta from the redundant channel (w_r terms reduced, sum < k*2^14).
+    terms = _mulmod(tau, sys_.w_r[k : 2 * k], sys_.m_r, sys_.mu_r)
+    s_r = _mod(jnp.sum(terms, axis=-1, keepdims=True), sys_.m_r, sys_.mu_r)
+    u_r = u[..., 2 * k : 2 * k + 1]
+    beta = _mod(
+        (s_r + (sys_.m_r - u_r)) * sys_.mbinv_r, sys_.m_r, sys_.mu_r
+    )
+    slots = slots + beta * sys_.neg_mb_limbs  # + beta (R_out - M_B), < 2^25.2
+    # Full normalisation: value mod R_out with every carry rippled out the
+    # top — a 3-pass carry_fix could leave beta*R_out encoded redundantly.
+    return lm.normalize(slots)
+
+
+def rns_pow_digits(exponent, exponent_bits, window=DEFAULT_WINDOW):
+    """Host helper: MSB-first digit schedule (same as montgomery's)."""
+    from phe_tpu.ops import montgomery as mg
+
+    return mg.exponent_digits(exponent, exponent_bits, window)
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def pow_shared_xla(x_limbs, digits, conv, sys_, window=DEFAULT_WINDOW):
+    """x^e mod N (up to +jN, j <= k) via the RNS ladder; XLA reference.
+
+    x_limbs: [..., Lin] binary limbs, value < 2kN; digits: [n_windows]
+    int32 MSB-first base-2^window digits of e (conv built for Lin).
+    Returns [..., out_limbs] canonical binary limbs of value <= kN + 1.
+    """
+    x = to_rns(x_limbs, conv, sys_)
+    xd = rns_mont_mul(x, jnp.broadcast_to(sys_.r2_dom, x.shape), sys_)
+    one = jnp.broadcast_to(sys_.one_dom, xd.shape)
+
+    def mk(prev, _):
+        nxt = rns_mont_mul(prev, xd, sys_)
+        return nxt, nxt
+
+    _, powers = jax.lax.scan(mk, one, None, length=2**window - 1)
+    table = jnp.concatenate([one[None], powers], axis=0)
+
+    def step(acc, digit):
+        for _ in range(window):
+            acc = rns_mont_mul(acc, acc, sys_)
+        factor = jax.lax.dynamic_index_in_dim(table, digit, 0, keepdims=False)
+        return rns_mont_mul(acc, factor, sys_), None
+
+    acc, _ = jax.lax.scan(step, one, digits)
+    # Leave the domain: multiply by the integer 1 (residue 1 everywhere).
+    out = rns_mont_mul(acc, jnp.ones_like(acc), sys_)
+    return from_rns(out, sys_)

@@ -1,0 +1,153 @@
+"""RNS Montgomery engine: exactness against Python integer arithmetic.
+
+Validates the algebra of phe_tpu.ops.rns (the XLA reference twin of the
+Pallas kernel): channel decomposition, the two base extensions, chain
+bounds, conversions, and the full windowed ladder against pow(x, e, N).
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+import phe_tpu
+from phe_tpu.ops import rns
+from phe_tpu.ops import limb_math as lm
+from phe_tpu.utils import limbs as hl
+
+
+@pytest.fixture(scope="module")
+def system():
+    # N = n^2 for a 128-bit key: the shape of the Paillier obfuscation
+    # modexp at test scale.
+    pub, priv = phe_tpu.generate_paillier_keypair(n_length=128)
+    return pub, priv, rns.build_rns(pub.nsquare)
+
+
+def _products(sys_):
+    m = np.asarray(sys_.m, dtype=np.uint64)
+    k = sys_.k
+    M_A = M_B = 1
+    for a in m[:k]:
+        M_A *= int(a)
+    for b in m[k : 2 * k]:
+        M_B *= int(b)
+    return M_A, M_B
+
+
+def _channel_values(sys_, value):
+    m = np.asarray(sys_.m, dtype=np.uint64)
+    return np.array([value % int(mc) for mc in m], dtype=np.uint32)
+
+
+def test_build_invariants(system):
+    pub, _, sys_ = system
+    N = pub.nsquare
+    M_A, M_B = _products(sys_)
+    k = sys_.k
+    assert M_A >= 4 * k * N and M_B >= 4 * k * N
+    m = np.asarray(sys_.m)
+    assert len(set(m[: 2 * k + 1].tolist())) == 2 * k + 1  # distinct primes
+    assert (m > (1 << 13)).all() and (m < (1 << 14)).all()
+    assert (m[2 * k :] == m[2 * k]).all()  # pads replicate m_r
+
+
+def test_to_rns_exact_including_redundant_limbs(system):
+    pub, _, sys_ = system
+    rng = random.Random(7)
+    Lin = hl.num_limbs_for_bits(pub.nsquare.bit_length()) + 2
+    conv = rns.build_conversion(sys_, Lin)
+    # Redundant rows: limbs up to 2^14 inclusive.
+    rows = np.asarray(
+        [
+            np.minimum(
+                np.asarray(
+                    hl.int_to_limbs(rng.getrandbits(14 * Lin - 20), Lin)
+                )
+                + rng.randrange(0, 2),
+                1 << 14,
+            )
+            for _ in range(9)
+        ],
+        dtype=np.uint32,
+    )
+    got = np.asarray(rns.to_rns(rows, conv, sys_))
+    for i in range(rows.shape[0]):
+        value = hl.limbs_to_int(rows[i])
+        np.testing.assert_array_equal(got[i], _channel_values(sys_, value))
+
+
+def test_mont_mul_exact_and_bounded(system):
+    pub, _, sys_ = system
+    N = pub.nsquare
+    M_A, M_B = _products(sys_)
+    k = sys_.k
+    bound = 2 * k * N
+    rng = random.Random(3)
+    xs = [rng.randrange(bound) for _ in range(8)]
+    ys = [rng.randrange(bound) for _ in range(8)]
+    X = np.stack([_channel_values(sys_, v) for v in xs])
+    Y = np.stack([_channel_values(sys_, v) for v in ys])
+    U = np.asarray(rns.rns_mont_mul(X, Y, sys_))
+    ma_inv = pow(M_A, -1, N)
+    for i in range(8):
+        # Exact channel agreement with SOME representative u <= 2kN that
+        # is congruent to x y M_A^-1 mod N: reconstruct u by CRT over all
+        # channels (unique below M_A * m_r > bound) and check both.
+        want_mod_N = xs[i] * ys[i] * ma_inv % N
+        # CRT over base A + redundant channel.
+        m = [int(v) for v in np.asarray(sys_.m[: k]).tolist()] + [
+            int(sys_.m_r[0])
+        ]
+        r = U[i, :k].tolist() + [int(U[i, 2 * k])]
+        u, mod = 0, 1
+        for mi, ri in zip(m, r):
+            t = (ri - u) * pow(mod, -1, mi) % mi
+            u += mod * t
+            mod *= mi
+        assert u <= bound, "chain bound violated"
+        assert u % N == want_mod_N
+        # And every channel (incl. base B) agrees with u.
+        np.testing.assert_array_equal(U[i], _channel_values(sys_, u))
+
+
+def test_from_rns_roundtrip(system):
+    pub, _, sys_ = system
+    _, M_B = _products(sys_)
+    rng = random.Random(11)
+    vals = [rng.randrange(M_B) for _ in range(8)] + [0, 1, M_B - 1]
+    X = np.stack([_channel_values(sys_, v) for v in vals])
+    out = np.asarray(rns.from_rns(X, sys_))
+    for i, v in enumerate(vals):
+        assert hl.limbs_to_int(out[i]) == v
+
+
+def test_pow_shared_matches_python(system):
+    pub, _, sys_ = system
+    N = pub.nsquare
+    rng = random.Random(5)
+    Lin = hl.num_limbs_for_bits(N.bit_length())
+    conv = rns.build_conversion(sys_, Lin)
+    xs = [rng.randrange(1, N) for _ in range(4)] + [0, 1]
+    e = pub.n  # the obfuscation exponent shape
+    digits = rns.rns_pow_digits(e, e.bit_length())
+    rows = np.asarray(hl.ints_to_limbs(xs, Lin))
+    out = np.asarray(rns.pow_shared_xla(rows, digits, conv, sys_))
+    for i, x in enumerate(xs):
+        got = hl.limbs_to_int(out[i])
+        assert got % N == pow(x, e, N)
+        assert got <= sys_.k * N + 1
+
+
+def test_pow_shared_various_exponents(system):
+    pub, _, sys_ = system
+    N = pub.nsquare
+    rng = random.Random(13)
+    Lin = hl.num_limbs_for_bits(N.bit_length())
+    conv = rns.build_conversion(sys_, Lin)
+    x = rng.randrange(1, N)
+    rows = np.asarray(hl.ints_to_limbs([x], Lin))
+    for e in [1, 2, 3, 16, (1 << 64) - 59, rng.getrandbits(200) | 1]:
+        digits = rns.rns_pow_digits(e, max(e.bit_length(), 1))
+        out = np.asarray(rns.pow_shared_xla(rows, digits, conv, sys_))
+        assert hl.limbs_to_int(out[0]) % N == pow(x, e, N), e
