@@ -46,6 +46,7 @@ from phe_tpu import config as _config
 from phe_tpu.encoding import EncodedNumber
 from phe_tpu.ops import limb_math as lm
 from phe_tpu.ops import montgomery as mg
+from phe_tpu.ops import rns
 from phe_tpu.utils import limbs as hl
 
 _config.enable_persistent_cache()
@@ -53,6 +54,20 @@ _config.enable_persistent_cache()
 DEFAULT_WINDOW = mg.DEFAULT_WINDOW
 _MIN_BUCKET = 4
 _WINDOW_GROUP = 8
+
+
+def _use_rns():
+    """Engine selection for the shared-exponent modexps (encrypt/decrypt).
+
+    PHE_TPU_ENGINE=rns|limb|auto. auto: the RNS engine on TPU (where its
+    matmuls ride the MXU and the measured limb-engine ceiling binds), the
+    limb engine on CPU (keeps the default test lane on the engine the
+    Pallas kernels share; tests cover the RNS lane explicitly).
+    """
+    import os
+
+    eng = os.environ.get("PHE_TPU_ENGINE", "auto")
+    return eng == "rns" or (eng == "auto" and jax.default_backend() == "tpu")
 
 
 def bucket_rows(b):
@@ -130,6 +145,40 @@ def _encrypt_dev(m, r, n_limbs, nr2, n_digits, ctx):
 def _obfuscate_dev(mont, r, n_digits, ctx):
     """Fused re-obfuscation: ct * r^n mod n^2 (phe/paillier.py:603-624)."""
     obf = mg.mont_pow_shared(mg.to_mont(r, ctx), n_digits, ctx)
+    return mg.mont_mul(mont, obf, ctx)
+
+
+def _rns_pow_to_mont(base_limbs, digits, rsys, conv, ctx):
+    """RNS-engine modexp landing in the limb engine's Montgomery domain.
+
+    base_limbs: [B, Lin] (value < 2kN); returns [B, L] Montgomery-domain
+    limbs of base^e mod M. The RNS ladder yields canonical limbs of a
+    value <= kN + 1 (rns.pow_shared_xla); truncation to L limbs is exact
+    (kN << 2^(14 L - 16) by the context's headroom) and to_mont absorbs
+    the +jN offset (REDC of x * (R^2 mod M) with x < 2^9 M stays < 1.01 M).
+    """
+    wide = rns.pow_shared(base_limbs, digits, conv, rsys)
+    L = ctx.num_limbs
+    W = wide.shape[-1]
+    if W < L:
+        wide = jnp.pad(wide, [(0, 0)] * (wide.ndim - 1) + [(0, L - W)])
+    else:
+        wide = wide[..., :L]
+    return mg.to_mont(wide, ctx)
+
+
+@jax.jit
+def _encrypt_rns_dev(m, r, n_limbs, nr2, n_digits, ctx, rsys, conv):
+    """Fresh encryption with the obfuscator modexp on the RNS engine."""
+    nude = _nude_raw(m, n_limbs, nr2, ctx)
+    obf = _rns_pow_to_mont(r, n_digits, rsys, conv, ctx)
+    return mg.mont_mul(nude, obf, ctx)
+
+
+@jax.jit
+def _obfuscate_rns_dev(mont, r, n_digits, ctx, rsys, conv):
+    """Re-obfuscation with the r^n modexp on the RNS engine."""
+    obf = _rns_pow_to_mont(r, n_digits, rsys, conv, ctx)
     return mg.mont_mul(mont, obf, ctx)
 
 
@@ -277,20 +326,43 @@ def _select_inverse_dev(P, fwd_excl, rev_excl, tinv_mont, neg_mask, ctx):
     return jnp.where(neg_mask[:, None] != 0, inv, P)
 
 
+def _lfunction_half(xc, ctxh, pinv_hensel, h_limbs):
+    """L(x, p) * h mod p for one CRT leg, from canonical x = c^(p-1) mod p^2.
+
+    The L function is an exact Hensel division: (x-1)/p = (x-1) * p^-1
+    mod 2^(14*Lh), exact because the quotient is < p < 2^(14*Lh).
+    """
+    Lh = ctxh.num_limbs
+    t = xc[..., :Lh]
+    ones = jnp.full(t.shape, lm.LIMB_MASK, dtype=jnp.uint32)
+    tm1 = lm.add(t, ones)  # == t - 1 (mod R_h), top carry dropped
+    # mul_low is exact only mod R_h; the redundant truncation can sit
+    # one R_h above the true quotient, and the value is used mod p
+    # next — normalize to canonical (< R_h) to pin it to exactly
+    # (x-1)/p, which is < p < R_h.
+    lfun = lm.normalize(
+        lm.mul_low(tm1, jnp.broadcast_to(pinv_hensel, tm1.shape), Lh)
+    )
+    hm = mg.mont_mul(
+        mg.to_mont(lfun, ctxh),
+        jnp.broadcast_to(h_limbs, lfun.shape),
+        ctxh,
+    )  # = L * h mod p (plain domain: one to_mont, one REDC)
+    return mg.export_canonical(hm, ctxh)
+
+
 @jax.jit
 def _decrypt_dev(ct_mont, pub_ctx, pk):
     """Full batched CRT decryption on device -> plaintext residue limbs.
 
     Replaces the reference's scalar raw_decrypt (phe/paillier.py:328-374)
     end to end: per half-modulus, c^(p-1) mod p^2 (shared-exponent
-    Montgomery pow), the L function as an exact Hensel division
-    (L(x, p) = (x-1)/p = (x-1) * p^-1 mod 2^(14*Lh), exact because the
-    quotient is < p < 2^(14*Lh)), the hp/hq multiply mod p/q, and the CRT
-    recombination mp + p*((q + mq - mp) * p^-1 mod q) — all branch-free
-    limb arithmetic in one program. pk is a PrivateDeviceConstants pytree.
+    Montgomery pow), the Hensel L function (_lfunction_half), the hp/hq
+    multiply mod p/q, and the CRT recombination
+    mp + p*((q + mq - mp) * p^-1 mod q) — all branch-free limb arithmetic
+    in one program. pk is a PrivateDeviceConstants pytree.
     """
     plain = mg.from_mont(ct_mont, pub_ctx)
-    Lh = pk.ctx_hp.num_limbs
     halves = []
     for ctx2, red, ddig, ctxh, pinv_hensel, h_limbs in (
         (pk.ctx_p, pk.red_p, pk.dp_digits, pk.ctx_hp, pk.pinv2_p, pk.hp_limbs),
@@ -299,24 +371,12 @@ def _decrypt_dev(ct_mont, pub_ctx, pk):
         x = mg.mod_reduce(plain, ctx2, red)
         powed = mg.mont_pow_shared(mg.to_mont(x, ctx2), ddig, ctx2)
         xc = mg.export_canonical(mg.from_mont(powed, ctx2), ctx2)
-        # (x - 1) mod 2^(14*Lh): add (R_h - 1) and drop the top carry.
-        t = xc[..., :Lh]
-        ones = jnp.full(t.shape, lm.LIMB_MASK, dtype=jnp.uint32)
-        tm1 = lm.add(t, ones)  # == t - 1 (mod R_h), top carry dropped
-        # mul_low is exact only mod R_h; the redundant truncation can sit
-        # one R_h above the true quotient, and the value is used mod p
-        # next — normalize to canonical (< R_h) to pin it to exactly
-        # (x-1)/p, which is < p < R_h.
-        lfun = lm.normalize(
-            lm.mul_low(tm1, jnp.broadcast_to(pinv_hensel, tm1.shape), Lh)
-        )
-        hm = mg.mont_mul(
-            mg.to_mont(lfun, ctxh),
-            jnp.broadcast_to(h_limbs, lfun.shape),
-            ctxh,
-        )  # = L * h mod p (plain domain: one to_mont, one REDC)
-        halves.append(mg.export_canonical(hm, ctxh))
-    mp, mq = halves
+        halves.append(_lfunction_half(xc, ctxh, pinv_hensel, h_limbs))
+    return _crt_recombine(halves[0], halves[1], pk)
+
+
+def _crt_recombine(mp, mq, pk):
+    """mp + p*((q + mq - mp) p^-1 mod q) -> packed plaintext bytes."""
     # u = (q + mq - mp) * p^-1 mod q, branch-free via the radix complement.
     ones = jnp.full(mp.shape, lm.LIMB_MASK, dtype=jnp.uint32)
     neg_mp = (ones - mp).at[..., 0].add(1)  # R_h - mp (mp canonical)
@@ -343,6 +403,30 @@ def _decrypt_dev(ct_mont, pub_ctx, pk):
     return lm.pack_bytes(lm.normalize(m))
 
 
+@jax.jit
+def _decrypt_rns_dev(ct_mont, pub_ctx, pk, rsys_p, conv_p, rsys_q, conv_q):
+    """CRT decryption with both half-width modexps on the RNS engine.
+
+    The wide ciphertext residue is first folded into each prime-square
+    range by the limb engine's mod_reduce (the RNS entry bound needs the
+    first operand below 2^(14(L+1)); rsys_* are built with that
+    max_entry_bits), then each c^(p-1) mod p^2 runs as an RNS ladder.
+    """
+    plain = mg.from_mont(ct_mont, pub_ctx)
+    halves = []
+    for ctx2, red, ddig, rsys, conv, ctxh, pinv_hensel, h_limbs in (
+        (pk.ctx_p, pk.red_p, pk.dp_digits, rsys_p, conv_p, pk.ctx_hp,
+         pk.pinv2_p, pk.hp_limbs),
+        (pk.ctx_q, pk.red_q, pk.dq_digits, rsys_q, conv_q, pk.ctx_hq,
+         pk.pinv2_q, pk.hq_limbs),
+    ):
+        x = mg.mod_reduce(plain, ctx2, red)  # [B, L2+1], value < 1.51 R
+        powed = _rns_pow_to_mont(x, ddig, rsys, conv, ctx2)
+        xc = mg.export_canonical(mg.from_mont(powed, ctx2), ctx2)
+        halves.append(_lfunction_half(xc, ctxh, pinv_hensel, h_limbs))
+    return _crt_recombine(halves[0], halves[1], pk)
+
+
 class PublicDeviceContext:
     """Per-public-key device constants and jitted batch programs."""
 
@@ -366,6 +450,15 @@ class PublicDeviceContext:
         )
         # Short-exponent obfuscation state (built lazily by obfuscator_pool).
         self._h_mont = None
+        # RNS engine state (lazy: ~1s of host bigint precompute per key).
+        self._rns = None
+
+    def rns_state(self):
+        """(RNSSystem, RNSConversion) for modexp mod n^2, input width L."""
+        if self._rns is None:
+            rsys = rns.build_rns(self.public_key.nsquare)
+            self._rns = (rsys, rns.build_conversion(rsys, self.L))
+        return self._rns
 
     @classmethod
     def build(cls, public_key):
@@ -423,20 +516,27 @@ class PublicDeviceContext:
 
     def encrypt_mont(self, encodings, r_values=None):
         """Fused fresh encryption (n*m+1)*r^n for encoded residues."""
+        m = self.pack_messages(encodings)
+        r = self.random_r_limbs(len(encodings), r_values)
+        if _use_rns():
+            rsys, conv = self.rns_state()
+            return _encrypt_rns_dev(
+                m, r, self.n_limbs, self.nr2_limbs, self.n_digits, self.ctx,
+                rsys, conv,
+            )
         return _encrypt_dev(
-            self.pack_messages(encodings),
-            self.random_r_limbs(len(encodings), r_values),
-            self.n_limbs,
-            self.nr2_limbs,
-            self.n_digits,
-            self.ctx,
+            m, r, self.n_limbs, self.nr2_limbs, self.n_digits, self.ctx
         )
 
     def obfuscate_mont(self, mont):
         """Fresh uniform re-obfuscation of a Montgomery ciphertext batch."""
-        return _obfuscate_dev(
-            mont, self.random_r_limbs(mont.shape[0]), self.n_digits, self.ctx
-        )
+        r = self.random_r_limbs(mont.shape[0])
+        if _use_rns():
+            rsys, conv = self.rns_state()
+            return _obfuscate_rns_dev(
+                mont, r, self.n_digits, self.ctx, rsys, conv
+            )
+        return _obfuscate_dev(mont, r, self.n_digits, self.ctx)
 
     def obfuscate_mont_short(self, mont, exponent_bits=320):
         """Fast re-obfuscation h^a with h = x^n fixed and a random, short.
@@ -544,6 +644,28 @@ class PrivateDeviceContext:
         self.ctx_q, self.red_q = self.consts.ctx_q, self.consts.red_q
         self.dp_digits = self.consts.dp_digits
         self.dq_digits = self.consts.dq_digits
+        self._rns = None
+
+    def rns_state(self):
+        """Per-prime-square RNS systems for the CRT decrypt modexps.
+
+        Entry bound: mod_reduce hands the ladder values < 1.51 * R
+        (R = 2^(14 L2)) in L2+1 limbs, so max_entry_bits = 14*(L2+1) + 1.
+        """
+        if self._rns is None:
+            priv = self.private_key
+            state = []
+            for nsq, ctx2 in (
+                (priv.psquare, self.ctx_p),
+                (priv.qsquare, self.ctx_q),
+            ):
+                width = ctx2.num_limbs + 1
+                rsys = rns.build_rns(
+                    nsq, max_entry_bits=lm.LIMB_BITS * width + 1
+                )
+                state.append((rsys, rns.build_conversion(rsys, width)))
+            self._rns = tuple(state)
+        return self._rns
 
     @classmethod
     def build(cls, private_key):
@@ -566,9 +688,17 @@ class PrivateDeviceContext:
         """Exact plaintext residues mod n for a Montgomery ciphertext batch.
 
         One fused device program (CRT + L-function + recombination, see
-        _decrypt_dev); the host only rebuilds ints from packed bytes.
+        _decrypt_dev / _decrypt_rns_dev); the host only rebuilds ints
+        from packed bytes.
         """
-        m = _decrypt_dev(ct_mont, self.pub_ctx.ctx, self.consts)
+        if _use_rns():
+            (rsys_p, conv_p), (rsys_q, conv_q) = self.rns_state()
+            m = _decrypt_rns_dev(
+                ct_mont, self.pub_ctx.ctx, self.consts,
+                rsys_p, conv_p, rsys_q, conv_q,
+            )
+        else:
+            m = _decrypt_dev(ct_mont, self.pub_ctx.ctx, self.consts)
         return _bytes_to_ints(jax.device_get(m))
 
 

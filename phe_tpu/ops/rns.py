@@ -175,12 +175,21 @@ def _digit_blocks(entries):
     return jnp.asarray(np.block([[lo, z], [hi, lo], [z, hi]]))
 
 
-def build_rns(modulus):
-    """Construct the RNS system for one modulus N (host, Python ints)."""
+def build_rns(modulus, max_entry_bits=None):
+    """Construct the RNS system for one modulus N (host, Python ints).
+
+    The general product bound is x*y <= k*N*M_A (then
+    u <= xy/M_A + kN <= 2kN); chained operands <= 2kN need M_A >= 4kN.
+    ``max_entry_bits`` additionally sizes M_A for a *wider first operand*
+    (the decrypt path feeds a partially-reduced value < 2^(14(L+1)) into
+    the domain-entry multiply against r2_dom < N): the entry product
+    x * r2_dom <= 2^max_entry_bits * N then needs M_A >= 2^max_entry_bits / k.
+    """
     N = int(modulus)
     nbits = N.bit_length()
+    entry_floor = (1 << max_entry_bits) if max_entry_bits else 0
     # k channels per base at >= 13 bits each; both base products must
-    # clear 4kN. k feeds back into the bound, so iterate.
+    # clear the bounds. k feeds back into them, so iterate.
     k = -(-(nbits + 16) // 13)
     while True:
         k = -(-k // 8) * 8
@@ -193,7 +202,8 @@ def build_rns(modulus):
             M_A *= a
         for b in B:
             M_B *= b
-        if M_A >= 4 * k * N and M_B >= 4 * k * N:
+        need = max(4 * k * N, -(-entry_floor // k))
+        if M_A >= need and M_B >= 4 * k * N:
             break
         k += 8
 
@@ -222,7 +232,12 @@ def build_rns(modulus):
     for i, a in enumerate(A):
         neg_mb[i] = (-M_B) % a
 
-    one_dom = np.array([M_A % m for m in chans], dtype=np.uint32)
+    # Domain constants must be the REDUCED representatives (< N): the
+    # residues of M_A itself would represent a value >> 2kN and silently
+    # break the chain bound (ext2's beta goes negative once values crest
+    # k*M_B — caught by the 2048-bit ladder, invisible at toy sizes).
+    one_int = M_A % N
+    one_dom = np.array([one_int % m for m in chans], dtype=np.uint32)
     r2int = M_A * M_A % N
     r2_dom = np.array([r2int % m for m in chans], dtype=np.uint32)
 
@@ -494,3 +509,25 @@ def pow_shared_xla(x_limbs, digits, conv, sys_, window=DEFAULT_WINDOW):
     # Leave the domain: multiply by the integer 1 (residue 1 everywhere).
     out = rns_mont_mul(acc, jnp.ones_like(acc), sys_)
     return from_rns(out, sys_)
+
+
+def pow_shared(x_limbs, digits, conv, sys_, window=DEFAULT_WINDOW):
+    """Dispatcher: fused Pallas kernel on TPU once available, else XLA.
+
+    The XLA formulation already runs the base-extension matmuls on the
+    MXU; the Pallas kernel (phe_tpu.ops.pallas_rns) additionally keeps
+    the ladder VMEM-resident between Montgomery products.
+    """
+    import os
+
+    be = os.environ.get("PHE_TPU_RNS_KERNEL", "auto")
+    if be != "xla" and x_limbs.ndim == 2:
+        try:
+            from phe_tpu.ops import pallas_rns
+
+            return pallas_rns.pow_shared_rows(
+                x_limbs, digits, conv, sys_, window=window
+            )
+        except ImportError:
+            pass
+    return pow_shared_xla(x_limbs, digits, conv, sys_, window=window)

@@ -50,6 +50,13 @@ def test_build_invariants(system):
     assert len(set(m[: 2 * k + 1].tolist())) == 2 * k + 1  # distinct primes
     assert (m > (1 << 13)).all() and (m < (1 << 14)).all()
     assert (m[2 * k :] == m[2 * k]).all()  # pads replicate m_r
+    # Domain constants represent the reduced values (< N), not M_A itself
+    # — the unreduced form breaks the chain bound at production sizes.
+    one = np.asarray(sys_.one_dom)
+    np.testing.assert_array_equal(one, _channel_values(sys_, M_A % N))
+    np.testing.assert_array_equal(
+        np.asarray(sys_.r2_dom), _channel_values(sys_, M_A * M_A % N)
+    )
 
 
 def test_to_rns_exact_including_redundant_limbs(system):
