@@ -503,16 +503,28 @@ class PublicDeviceContext:
                                  self.n_limbs, self.nr2_limbs, self.ctx)
 
     def random_r_limbs(self, count, r_values=None):
-        """[Bp, L] packed uniform r < n from the system CSPRNG.
+        """[Bp, L] packed blinding bases from the system CSPRNG.
 
         With r_values given, reproduces the reference bit-for-bit
-        (phe/paillier.py:136-143 obfuscator semantics). Pads to the row
-        bucket with r = 1 (identity obfuscator).
+        (phe/paillier.py:136-143 obfuscator semantics), padding to the
+        row bucket with r = 1 (identity obfuscator).
+
+        The default draw is fully vectorised: one token_bytes call yields
+        (n_bits + 64)-bit raw values packed straight into limbs with no
+        per-element Python. The obfuscator distribution r^n with r the
+        raw value is within 2^-64 statistical distance of the reference's
+        uniform r in [1, n) (the standard extra-64-bits argument; the raw
+        value reduces mod n implicitly inside the modexp).
         """
-        if r_values is None:
-            r_values = [1 + secrets.randbelow(self.n - 1) for _ in range(count)]
-        r_values = _pad_list(r_values, bucket_rows(count), 1)
-        return jnp.asarray(hl.ints_to_limbs(r_values, self.L))
+        bucket = bucket_rows(count)
+        if r_values is not None:
+            r_values = _pad_list(r_values, bucket, 1)
+            return jnp.asarray(hl.ints_to_limbs(r_values, self.L))
+        nbytes = (self.n_bits + 64 + 7) // 8
+        raw = np.frombuffer(
+            secrets.token_bytes(bucket * nbytes), dtype=np.uint8
+        ).reshape(bucket, nbytes)
+        return jnp.asarray(hl.bytes_to_limbs(raw, self.L))
 
     def encrypt_mont(self, encodings, r_values=None):
         """Fused fresh encryption (n*m+1)*r^n for encoded residues."""

@@ -188,15 +188,18 @@ def build_rns(modulus, max_entry_bits=None):
     N = int(modulus)
     nbits = N.bit_length()
     entry_floor = (1 << max_entry_bits) if max_entry_bits else 0
-    # k channels per base at >= 13 bits each; both base products must
-    # clear the bounds. k feeds back into them, so iterate.
-    k = -(-(nbits + 16) // 13)
+    # Minimal k: start at the optimistic ~13.9 bits/channel the largest
+    # sub-2^14 primes actually deliver and grow until both products clear
+    # their bounds. Primes alternate between the bases so M_A and M_B
+    # stay balanced (every channel costs VPU work and matmul rows — k is
+    # the single biggest knob on throughput).
+    k = max(8, -(-(nbits + 24) // 14))
     while True:
         k = -(-k // 8) * 8
         primes = _primes_below(1 << 14, 2 * k + 1)
         if min(primes) <= (1 << 13):
             raise ValueError("modulus too large for 14-bit RNS channels")
-        A, B, m_r = primes[0:k], primes[k : 2 * k], primes[2 * k]
+        A, B, m_r = primes[0 : 2 * k : 2], primes[1 : 2 * k : 2], primes[2 * k]
         M_A = M_B = 1
         for a in A:
             M_A *= a
@@ -360,18 +363,25 @@ def _block_matmul(w, dig):
     return out[..., :K], out[..., K : 2 * K], out[..., 2 * K :]
 
 
-def _combine_mod(c0, c1, c2, m, mu, t14):
-    """(c0 + 2^7 c1 + 2^14 c2) mod m for digit sums c* < 2^24.
+def _combine_raw(c0, c1, c2, m, mu, t14):
+    """Digit-block recombination, one Barrett short of canonical.
 
-    Staged so every Barrett input stays < 2^30: c1 and c2 are reduced
-    first (each < 2^24), then folded at their scales (c1r << 7 < 2^21,
-    c2r * t14 < 2^28).
+    value = c0 + 2^7 c1 + 2^14 c2
+          = c0 + 2^7 (c1 & 127) + 2^14 (c2 + (c1 >> 7)),
+    so one reduction of the 2^14-scale term e < 2^24 + 2^17 suffices and
+    the returned sum is < 2^24 + 2^14 + 2^28 < 2^28.2 — small enough for
+    the caller to fold one more additive term before the final Barrett.
     """
     c0 = c0.astype(jnp.uint32)
-    c1r = _mod(c1.astype(jnp.uint32), m, mu)
-    c2r = _mod(c2.astype(jnp.uint32), m, mu)
-    d = _mod(c0 + (c1r << 7), m, mu)
-    return _mod(d + c2r * t14, m, mu)
+    c1 = c1.astype(jnp.uint32)
+    c2 = c2.astype(jnp.uint32)
+    e = _mod(c2 + (c1 >> 7), m, mu)
+    return c0 + ((c1 & 0x7F) << 7) + e * t14
+
+
+def _combine_mod(c0, c1, c2, m, mu, t14):
+    """(c0 + 2^7 c1 + 2^14 c2) mod m for digit sums c* < 2^24."""
+    return _mod(_combine_raw(c0, c1, c2, m, mu, t14), m, mu)
 
 
 def rns_mont_mul(x, y, sys_):
@@ -401,13 +411,15 @@ def rns_mont_mul(x, y, sys_):
     mi = jnp.concatenate([m[:k], m[2 * k :]])
     mui = jnp.concatenate([mu[:k], mu[2 * k :]])
     t14i = jnp.concatenate([sys_.t14[:k], sys_.t14[2 * k :]])
-    S = _combine_mod(c0, c1, c2, mi, mui, t14i)  # [..., k+8]
+    S_raw = _combine_raw(c0, c1, c2, mi, mui, t14i)  # [..., k+8], < 2^28.2
     u_r = u_br[..., k : k + 1]  # channel r sits at index k of the B u r block
-    S_r = S[..., k : k + 1]
+    S_r = _mod(S_raw[..., k : k + 1], sys_.m_r, sys_.mu_r)
     beta = _mod(
         (S_r + (sys_.m_r - u_r)) * sys_.mbinv_r, sys_.m_r, sys_.mu_r
     )  # exact: beta < k < m_r
-    u_a = _mod(S[..., :k] + beta * sys_.neg_mb[:k], m[:k], mu[:k])
+    # Fold the beta correction into the pending reduction:
+    # S_raw + beta * neg_mb < 2^28.2 + 2^22 < 2^29.
+    u_a = _mod(S_raw[..., :k] + beta * sys_.neg_mb[:k], m[:k], mu[:k])
     return jnp.concatenate([u_a, u_br], axis=-1)
 
 
@@ -512,22 +524,23 @@ def pow_shared_xla(x_limbs, digits, conv, sys_, window=DEFAULT_WINDOW):
 
 
 def pow_shared(x_limbs, digits, conv, sys_, window=DEFAULT_WINDOW):
-    """Dispatcher: fused Pallas kernel on TPU once available, else XLA.
+    """Dispatcher between the fused Pallas ladder and the XLA reference.
 
-    The XLA formulation already runs the base-extension matmuls on the
-    MXU; the Pallas kernel (phe_tpu.ops.pallas_rns) additionally keeps
-    the ladder VMEM-resident between Montgomery products.
+    PHE_TPU_RNS_KERNEL=auto|pallas|xla. auto: the Pallas kernel on TPU
+    (VMEM-resident ladder), XLA elsewhere; pallas forces the kernel (in
+    interpret mode off-TPU — the CI parity lane); xla forces the
+    reference formulation.
     """
     import os
 
     be = os.environ.get("PHE_TPU_RNS_KERNEL", "auto")
-    if be != "xla" and x_limbs.ndim == 2:
-        try:
-            from phe_tpu.ops import pallas_rns
+    use_kernel = be == "pallas" or (
+        be == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_kernel and x_limbs.ndim == 2:
+        from phe_tpu.ops import pallas_rns
 
-            return pallas_rns.pow_shared_rows(
-                x_limbs, digits, conv, sys_, window=window
-            )
-        except ImportError:
-            pass
+        return pallas_rns.pow_shared_rows(
+            x_limbs, digits, conv, sys_, window=window
+        )
     return pow_shared_xla(x_limbs, digits, conv, sys_, window=window)

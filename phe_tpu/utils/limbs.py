@@ -25,6 +25,7 @@ __all__ = [
     "LIMB_BITS",
     "LIMB_MASK",
     "num_limbs_for_bits",
+    "bytes_to_limbs",
     "int_to_limbs",
     "limbs_to_int",
     "ints_to_limbs",
@@ -47,15 +48,39 @@ def limbs_to_int(limbs, limb_bits=LIMB_BITS):
     return limbs_to_ints(np.asarray(limbs)[None, :], limb_bits)[0]
 
 
+def bytes_to_limbs(buf, num_limbs, limb_bits=LIMB_BITS):
+    """[B, nbytes] little-endian uint8 rows -> [B, num_limbs] uint32 limbs.
+
+    Vectorised bit slicing: limb j covers bits [limb_bits*j,
+    limb_bits*(j+1)), spanning at most three bytes for limb_bits <= 16 —
+    three static gathers, a shift and a mask, no per-element Python.
+    Bits beyond num_limbs * limb_bits are ignored.
+    """
+    buf = np.asarray(buf, dtype=np.uint8)
+    need = (limb_bits * num_limbs + 7) // 8 + 2
+    if buf.shape[1] < need:
+        buf = np.pad(buf, ((0, 0), (0, need - buf.shape[1])))
+    j = np.arange(num_limbs)
+    o = (limb_bits * j) // 8
+    s = ((limb_bits * j) % 8).astype(np.uint32)
+    word = (
+        buf[:, o].astype(np.uint32)
+        | (buf[:, o + 1].astype(np.uint32) << 8)
+        | (buf[:, o + 2].astype(np.uint32) << 16)
+    )
+    return (word >> s) & np.uint32((1 << limb_bits) - 1)
+
+
 def ints_to_limbs(values, num_limbs, limb_bits=LIMB_BITS):
     """Pack a sequence of non-negative ints into a [B, num_limbs] uint32 array.
 
     Bits beyond num_limbs * limb_bits must be zero (raises if a value does
-    not fit).
+    not fit). One C-speed to_bytes per value feeds the vectorised
+    byte-slicer; nothing here is per-limb Python.
     """
     total_bits = num_limbs * limb_bits
     nbytes = (total_bits + 7) // 8
-    buf = np.empty((len(values), nbytes), dtype=np.uint8)
+    buf = np.zeros((len(values), nbytes + 2), dtype=np.uint8)
     for i, v in enumerate(values):
         if v < 0:
             raise ValueError("limb packing requires non-negative integers")
@@ -64,11 +89,10 @@ def ints_to_limbs(values, num_limbs, limb_bits=LIMB_BITS):
                 "value of %d bits does not fit in %d limbs of %d bits"
                 % (v.bit_length(), num_limbs, limb_bits)
             )
-        buf[i] = np.frombuffer(v.to_bytes(nbytes, "little"), dtype=np.uint8)
-    bits = np.unpackbits(buf, axis=1, bitorder="little")[:, :total_bits]
-    bits = bits.reshape(len(values), num_limbs, limb_bits)
-    weights = (1 << np.arange(limb_bits, dtype=np.uint32)).astype(np.uint32)
-    return (bits.astype(np.uint32) * weights).sum(axis=2, dtype=np.uint32)
+        buf[i, :nbytes] = np.frombuffer(
+            v.to_bytes(nbytes, "little"), dtype=np.uint8
+        )
+    return bytes_to_limbs(buf, num_limbs, limb_bits)
 
 
 def limbs_to_ints(limbs, limb_bits=LIMB_BITS):
