@@ -155,8 +155,12 @@ def _ladder_kernel(
         return 0
 
     jax.lax.fori_loop(0, n_windows * (window + 1), step, 0)
-    # Leave the domain: multiply by the integer 1.
-    out_ref[:, :] = montmul(acc_ref[:, :], jnp.ones((C, TB), jnp.uint32))
+    # Leave the domain: multiply by the integer 1. The unit vector is
+    # derived from an input rather than materialised with jnp.ones —
+    # an inline (C, TB) constant sends the Mosaic compiler into a
+    # pathological (>400 s, likely unbounded) optimisation loop.
+    unit = jnp.broadcast_to((m - m + 1).astype(jnp.uint32), (C, TB))
+    out_ref[:, :] = montmul(acc_ref[:, :], unit)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "tb"))

@@ -504,12 +504,15 @@ def pow_shared_xla(x_limbs, digits, conv, sys_, window=DEFAULT_WINDOW):
     xd = rns_mont_mul(x, jnp.broadcast_to(sys_.r2_dom, x.shape), sys_)
     one = jnp.broadcast_to(sys_.one_dom, xd.shape)
 
+    # Table seeded with xd itself (not one*xd): keeps this reference
+    # bit-equal to the Pallas kernel — same integer representatives at
+    # every step, not merely the same values mod N.
     def mk(prev, _):
         nxt = rns_mont_mul(prev, xd, sys_)
         return nxt, nxt
 
-    _, powers = jax.lax.scan(mk, one, None, length=2**window - 1)
-    table = jnp.concatenate([one[None], powers], axis=0)
+    _, powers = jax.lax.scan(mk, xd, None, length=2**window - 2)
+    table = jnp.concatenate([one[None], xd[None], powers], axis=0)
 
     def step(acc, digit):
         for _ in range(window):
