@@ -526,6 +526,60 @@ def pow_shared_xla(x_limbs, digits, conv, sys_, window=DEFAULT_WINDOW):
     return from_rns(out, sys_)
 
 
+@functools.partial(jax.jit, static_argnames=("window",))
+def pow_vec_xla(x_limbs, digits, conv, sys_, window=DEFAULT_WINDOW):
+    """Per-element-exponent RNS modexp; XLA reference.
+
+    digits: [..., n_windows] int32 MSB-first schedules, one row per
+    element (matching x_limbs' leading dims). The table factor is
+    selected by a one-hot contraction — constant-time in the exponent,
+    like the limb engine's variant. Same bounds as pow_shared_xla.
+    """
+    x = to_rns(x_limbs, conv, sys_)
+    xd = rns_mont_mul(x, jnp.broadcast_to(sys_.r2_dom, x.shape), sys_)
+    one = jnp.broadcast_to(sys_.one_dom, xd.shape)
+
+    def mk(prev, _):
+        nxt = rns_mont_mul(prev, xd, sys_)
+        return nxt, nxt
+
+    _, powers = jax.lax.scan(mk, xd, None, length=2**window - 2)
+    table = jnp.concatenate([one[None], xd[None], powers], axis=0)
+    K = 2**window
+    digits_first = jnp.moveaxis(digits, -1, 0)  # [n_windows, ...]
+
+    def step(acc, digit):
+        for _ in range(window):
+            acc = rns_mont_mul(acc, acc, sys_)
+        onehot = (
+            digit[None, ...]
+            == jnp.arange(K, dtype=digit.dtype).reshape((K,) + (1,) * digit.ndim)
+        ).astype(jnp.uint32)
+        factor = jnp.sum(table * onehot[..., None], axis=0)
+        return rns_mont_mul(acc, factor, sys_), None
+
+    acc, _ = jax.lax.scan(step, one, digits_first)
+    out = rns_mont_mul(acc, jnp.ones_like(acc), sys_)
+    return from_rns(out, sys_)
+
+
+def pow_vec(x_limbs, digits, conv, sys_, window=DEFAULT_WINDOW):
+    """Dispatcher for the per-element-exponent ladder (see pow_shared)."""
+    import os
+
+    be = os.environ.get("PHE_TPU_RNS_KERNEL", "auto")
+    use_kernel = be == "pallas" or (
+        be == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_kernel and x_limbs.ndim == 2:
+        from phe_tpu.ops import pallas_rns
+
+        return pallas_rns.pow_vec_rows(
+            x_limbs, digits, conv, sys_, window=window
+        )
+    return pow_vec_xla(x_limbs, digits, conv, sys_, window=window)
+
+
 def pow_shared(x_limbs, digits, conv, sys_, window=DEFAULT_WINDOW):
     """Dispatcher between the fused Pallas ladder and the XLA reference.
 
