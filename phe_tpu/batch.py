@@ -148,6 +148,18 @@ def _obfuscate_dev(mont, r, n_digits, ctx):
     return mg.mont_mul(mont, obf, ctx)
 
 
+def _fit_limbs(wide, L):
+    """Pad or truncate the trailing limb axis to exactly L limbs.
+
+    Truncation is exact for RNS ladder outputs (value <= kN + 1, far
+    below 2^(14 L - 16) by the context's headroom).
+    """
+    W = wide.shape[-1]
+    if W < L:
+        return jnp.pad(wide, [(0, 0)] * (wide.ndim - 1) + [(0, L - W)])
+    return wide[..., :L]
+
+
 def _rns_pow_to_mont(base_limbs, digits, rsys, conv, ctx):
     """RNS-engine modexp landing in the limb engine's Montgomery domain.
 
@@ -158,13 +170,31 @@ def _rns_pow_to_mont(base_limbs, digits, rsys, conv, ctx):
     the +jN offset (REDC of x * (R^2 mod M) with x < 2^9 M stays < 1.01 M).
     """
     wide = rns.pow_shared(base_limbs, digits, conv, rsys)
-    L = ctx.num_limbs
-    W = wide.shape[-1]
-    if W < L:
-        wide = jnp.pad(wide, [(0, 0)] * (wide.ndim - 1) + [(0, L - W)])
-    else:
-        wide = wide[..., :L]
-    return mg.to_mont(wide, ctx)
+    return mg.to_mont(_fit_limbs(wide, ctx.num_limbs), ctx)
+
+
+def _pow_elems(mont, digits, ctx, rstate):
+    """Per-element-exponent modexp, Montgomery domain in and out.
+
+    The engine-dispatch point for every data-dependent-exponent path
+    (scalar multiply, exponent alignment, matvec grids — the reference's
+    _raw_mul / decrease_exponent_to, phe/paillier.py:721-751, :570-601).
+    rstate None runs the limb engine (mg.mont_pow); (rsys, conv) runs the
+    Cox-Rower RNS ladder: leave the Montgomery domain (one Pallas REDC),
+    exponentiate the plain value c (< 1.01 M, redundant limbs — inside
+    the RNS entry bound), re-enter via to_mont. Values match mg.mont_pow
+    mod M exactly; representatives may differ by a multiple of M, which
+    every consumer absorbs (chains stay < 2.01 M, exports canonicalise).
+    """
+    if rstate is None:
+        return mg.mont_pow(mont, digits, ctx)
+    rsys, conv = rstate
+    lead = mont.shape[:-1]
+    plain = mg.from_mont(mont.reshape((-1, mont.shape[-1])), ctx)
+    wide = rns.pow_vec(plain, digits.reshape((-1, digits.shape[-1])),
+                       conv, rsys)
+    out = mg.to_mont(_fit_limbs(wide, ctx.num_limbs), ctx)
+    return out.reshape(lead + (ctx.num_limbs,))
 
 
 @jax.jit
@@ -240,17 +270,25 @@ def _tree_reduce_masked_dev(mont, valid, ctx):
 
 
 @jax.jit
-def _matvec_dev(mont, digits, align_digits, ctx):
-    """Fused encrypted matvec: grid pow, alignment pow, tree over D.
+def _matvec_dev(mont, inv_mont, neg_mask, digits, ctx, rstate):
+    """Fused encrypted matvec: base select, ONE grid pow, tree over D.
 
-    mont: [D, L] encrypted weights; digits: [B, D, W] plaintext matrix
-    digit schedules; align_digits: [B, D, W2] BASE**diff schedules.
+    mont / inv_mont: [D, L] encrypted weights and their modular inverses
+    (Montgomery domain); neg_mask: uint32 [B, D] selecting the inverse
+    base (the reference's inverse trick, phe/paillier.py:745-749, lifted
+    to the whole grid); digits: [B, D, W] schedules of
+    |mantissa| * BASE**align_diff — the alignment multiply
+    (decrease_exponent_to's hidden modexp) is fused into the exponent
+    itself, since (c^x)^(BASE^d) = c^(x * BASE^d).
     """
     B = digits.shape[0]
-    base = jnp.broadcast_to(mont, (B,) + mont.shape)
-    powed = mg.mont_pow(base, digits, ctx)
-    aligned = mg.mont_pow(powed, align_digits, ctx)
-    return _tree_fold(jnp.moveaxis(aligned, 1, 0), ctx)[0]
+    base = jnp.where(
+        neg_mask[..., None] != 0,
+        jnp.broadcast_to(inv_mont, (B,) + inv_mont.shape),
+        jnp.broadcast_to(mont, (B,) + mont.shape),
+    )
+    powed = _pow_elems(base, digits, ctx, rstate)
+    return _tree_fold(jnp.moveaxis(powed, 1, 0), ctx)[0]
 
 
 @jax.jit
@@ -270,60 +308,68 @@ def _crt_powers_dev(ct_mont, pub_ctx, ctx_p, red_p, dp_digits, ctx_q, red_q,
 
 
 @jax.jit
-def _add_encrypted_aligned_dev(a_mont, da, b_mont, db, ctx):
+def _add_encrypted_aligned_dev(a_mont, da, b_mont, db, ctx, rstate):
     """Fused E(a)+E(b) with per-element exponent alignment.
 
     da/db are BASE**diff digit schedules; the alignment modexps
     (phe/paillier.py:664-669's decrease_exponent_to) and the ciphertext
     product run as one program — one dispatch, one compile."""
-    a2 = mg.mont_pow(a_mont, da, ctx)
-    b2 = mg.mont_pow(b_mont, db, ctx)
+    a2 = _pow_elems(a_mont, da, ctx, rstate)
+    b2 = _pow_elems(b_mont, db, ctx, rstate)
     return mg.mont_mul(a2, b2, ctx)
 
 
 @jax.jit
-def _add_scalars_aligned_dev(a_mont, da, m, n_limbs, nr2, ctx):
+def _add_scalars_aligned_dev(a_mont, da, m, n_limbs, nr2, ctx, rstate):
     """Fused E(a)+b: alignment pow then multiply by the unblinded nude."""
-    a2 = mg.mont_pow(a_mont, da, ctx)
+    a2 = _pow_elems(a_mont, da, ctx, rstate)
     return mg.mont_mul(a2, _nude_raw(m, n_limbs, nr2, ctx), ctx)
 
 
 @jax.jit
-def _sum_aligned_dev(mont, digits, ctx):
+def _sum_aligned_dev(mont, digits, ctx, rstate):
     """Fused homomorphic sum: alignment pow + log-depth modmul tree."""
-    return _tree_fold(mg.mont_pow(mont, digits, ctx), ctx)
+    return _tree_fold(_pow_elems(mont, digits, ctx, rstate), ctx)
 
 
 @jax.jit
-def _pow_abs_scan_dev(ct_mont, digits, ctx):
-    """P = ct^|k| plus the Montgomery-batch-inversion prefix scans.
+def _inverse_scan_dev(mont, ctx):
+    """Montgomery-batch-inversion prefix scans over a ciphertext batch.
 
-    Returns (P, fwd_excl, rev_excl, total): fwd_excl[i] = prod_{j<i} P_j,
-    rev_excl[i] = prod_{j>i} P_j (both Montgomery products over the batch
-    axis via log-depth associative scans), total = prod_j P_j. One host
-    inversion of `total` then yields every P_i^-1 as
-    fwd_excl[i] * rev_excl[i] * total^-1 — the negative-scalar branch of
-    the reference's inverse trick (phe/paillier.py:745-749) without
-    full-width exponents."""
-    P = mg.mont_pow(ct_mont, digits, ctx)
+    Returns (excl, total): excl[i] = prod_{j != i} c_j (Montgomery
+    products over the batch axis via two log-depth associative scans),
+    total = prod_j c_j. One host inversion of `total` then yields every
+    c_i^-1 as excl[i] * total^-1 (_finish_inverse_dev) — Montgomery's
+    batch-inversion identity, ONE bigint inversion for the whole batch.
+    """
     mul = lambda a, b: mg.mont_mul(a, b, ctx)
-    incl = jax.lax.associative_scan(mul, P, axis=0)
-    rev_incl = jax.lax.associative_scan(mul, P[::-1], axis=0)[::-1]
-    one = jnp.broadcast_to(ctx.one, P.shape).astype(P.dtype)
+    incl = jax.lax.associative_scan(mul, mont, axis=0)
+    rev_incl = jax.lax.associative_scan(mul, mont[::-1], axis=0)[::-1]
+    one = jnp.broadcast_to(ctx.one, mont.shape).astype(mont.dtype)
     fwd_excl = jnp.concatenate([one[:1], incl[:-1]], axis=0)
     rev_excl = jnp.concatenate([rev_incl[1:], one[:1]], axis=0)
-    return P, fwd_excl, rev_excl, incl[-1]
+    return mg.mont_mul(fwd_excl, rev_excl, ctx), incl[-1]
 
 
 @jax.jit
-def _select_inverse_dev(P, fwd_excl, rev_excl, tinv_mont, neg_mask, ctx):
-    """Finish batch inversion and select ct^k vs (ct^k)^-1 per element."""
-    inv = mg.mont_mul(
-        mg.mont_mul(fwd_excl, rev_excl, ctx),
-        jnp.broadcast_to(tinv_mont, fwd_excl.shape),
-        ctx,
+def _finish_inverse_dev(excl, tinv_mont, ctx):
+    """excl[i] * total^-1 = c_i^-1, Montgomery domain."""
+    return mg.mont_mul(
+        excl, jnp.broadcast_to(tinv_mont, excl.shape), ctx
     )
-    return jnp.where(neg_mask[:, None] != 0, inv, P)
+
+
+@jax.jit
+def _pow_select_dev(mont, inv_mont, neg_mask, digits, ctx, rstate):
+    """Select base c vs c^-1 per element, then one per-exponent modexp.
+
+    The batched negative-scalar branch of the reference's inverse trick
+    (phe/paillier.py:745-749): (c^-1)^|k| = (c^|k|)^-1, with the base
+    selected *before* the pow so negatives cost exactly one short modexp
+    like every other element.
+    """
+    base = jnp.where(neg_mask[:, None] != 0, inv_mont, mont)
+    return _pow_elems(base, digits, ctx, rstate)
 
 
 def _lfunction_half(xc, ctxh, pinv_hensel, h_limbs):
@@ -578,6 +624,14 @@ class PublicDeviceContext:
     def mul_mont(self, a, b):
         return _mul_mont_dev(a, b, self.ctx)
 
+    def rstate(self):
+        """(rsys, conv) when the RNS engine is selected, else None.
+
+        The per-element-exponent engine dispatch handle passed into the
+        fused device programs (see _pow_elems).
+        """
+        return self.rns_state() if _use_rns() else None
+
     def pow_scalars(self, ct_mont, exponents, exponent_bits):
         """ct^e_i with per-element exponents (scalar multiply).
 
@@ -587,12 +641,17 @@ class PublicDeviceContext:
         digits = jnp.asarray(
             _digits_rows(exponents, exponent_bits, pad_rows=ct_mont.shape[0])
         )
-        return mg.mont_pow(ct_mont, digits, self.ctx)
+        return _pow_elems_dev(ct_mont, digits, self.ctx, self.rstate())
 
 
 @jax.jit
 def _nude_encrypt_dev(m, n_limbs, nr2, ctx):
     return _nude_raw(m, n_limbs, nr2, ctx)
+
+
+@jax.jit
+def _pow_elems_dev(mont, digits, ctx, rstate):
+    return _pow_elems(mont, digits, ctx, rstate)
 
 
 class PrivateDeviceConstants(NamedTuple):
@@ -730,6 +789,10 @@ class EncryptedBatch:
         self.mont = mont
         self.exponents = np.asarray(exponents, dtype=np.int64)
         self.is_obfuscated = is_obfuscated
+        # Lazily-computed modular inverses of the ciphertexts (Montgomery
+        # domain), for the negative-scalar inverse trick; reset whenever
+        # self.mont is replaced in place (obfuscation on secure export).
+        self._inv_mont = None
 
     def __len__(self):
         """Logical batch length (the mont tensor rows are bucket-padded)."""
@@ -816,6 +879,7 @@ class EncryptedBatch:
         if be_secure and not self.is_obfuscated:
             fresh = self.obfuscate()
             self.mont = fresh.mont
+            self._inv_mont = None
             self.is_obfuscated = True
         return self._dc.export_ints(self.mont)[: len(self)]
 
@@ -932,6 +996,7 @@ class EncryptedBatch:
                 other.mont,
                 other._align_digits(target),
                 dc.ctx,
+                dc.rstate(),
             )
         return EncryptedBatch(self.public_key, mont, target, False)
 
@@ -968,27 +1033,40 @@ class EncryptedBatch:
         else:
             mont = _add_scalars_aligned_dev(
                 self.mont, self._align_digits(target), m, dc.n_limbs,
-                dc.nr2_limbs, dc.ctx
+                dc.nr2_limbs, dc.ctx, dc.rstate()
             )
         return EncryptedBatch(self.public_key, mont, target, False)
 
-    def mul_scalars(self, scalars):
-        """Elementwise E(a) * b: short-exponent modexp with batch inversion.
+    def inverse_mont(self):
+        """Montgomery-domain modular inverses c_i^-1 mod n^2, cached.
 
-        The batched form of the reference's inverse trick
-        (phe/paillier.py:745-749): scalars in the negative encoding window
-        use |mantissa| = n - encoding as the exponent — short, like every
-        float/int mantissa — and the result is inverted mod n^2. All
-        inverses for the batch come from ONE host modular inversion via
-        Montgomery's batch-inversion identity (log-depth product scans on
-        device), so the per-element cost stays one short modexp. Results
-        for negative scalars differ from the reference ciphertext by an
-        n-th-power factor, exactly as the reference's own branch does
-        relative to c^plaintext; decryption agrees bit-for-bit.
+        Montgomery's batch-inversion identity: two log-depth product
+        scans on device plus ONE host bigint inversion of the running
+        product serve the whole batch (the reference pays one
+        extended-Euclid invert per negative scalar, phe/util.py:85-103).
+        Cached on the batch: every subsequent negative-scalar multiply /
+        matvec is a single fused device program.
         """
-        scalars = _as_list(scalars, len(self))
+        if self._inv_mont is None:
+            dc = self._dc
+            excl, total = _inverse_scan_dev(self.mont, dc.ctx)
+            total_int = dc.export_ints(total[None])[0]
+            from phe_tpu.utils.ntheory import invert
+
+            tinv = dc.pack_mod_nsquare(
+                [invert(total_int, self.public_key.nsquare)]
+            )[0]
+            self._inv_mont = _finish_inverse_dev(excl, tinv, dc.ctx)
+        return self._inv_mont
+
+    def _signed_exponents(self, encodings):
+        """Split encoded residues into (|k| exponents, negative mask).
+
+        The reference's inverse trick (phe/paillier.py:745-749): residues
+        in the negative window use n - encoding (short, like every
+        float/int mantissa) as the exponent on the *inverted* ciphertext.
+        """
         pub = self.public_key
-        encodings = EncodedNumber.encode_many(pub, scalars)
         neg_window = pub.n - pub.max_int
         ks, neg = [], []
         for e in encodings:
@@ -998,24 +1076,38 @@ class EncryptedBatch:
             else:
                 ks.append(e.encoding)
                 neg.append(0)
+        return ks, neg
+
+    def mul_scalars(self, scalars):
+        """Elementwise E(a) * b: ONE short-exponent modexp program.
+
+        Negative scalars select the (batch-inverted, cached) ciphertext
+        as the base: (c^-1)^|k| = (c^|k|)^-1 mod n^2, so every element
+        pays exactly one short modexp. Results for negative scalars
+        differ from the reference ciphertext by an n-th-power factor,
+        exactly as the reference's own inverse branch does relative to
+        c^plaintext; decryption agrees bit-for-bit.
+        """
+        scalars = _as_list(scalars, len(self))
+        pub = self.public_key
+        encodings = EncodedNumber.encode_many(pub, scalars)
+        ks, neg = self._signed_exponents(encodings)
         dc = self._dc
         bits = max(max(k.bit_length() for k in ks), 1)
         digits = jnp.asarray(
             _digits_rows(ks, bits, pad_rows=self.mont.shape[0])
         )
         if any(neg):
-            P, fwd, rev, total = _pow_abs_scan_dev(self.mont, digits, dc.ctx)
-            total_int = dc.export_ints(total[None])[0]
-            from phe_tpu.utils.ntheory import invert
-
-            tinv = dc.pack_mod_nsquare([invert(total_int, pub.nsquare)])[0]
             mask = jnp.asarray(
                 np.pad(np.asarray(neg, dtype=np.uint32),
                        (0, self.mont.shape[0] - len(neg)))
             )
-            mont = _select_inverse_dev(P, fwd, rev, tinv, mask, dc.ctx)
+            mont = _pow_select_dev(
+                self.mont, self.inverse_mont(), mask, digits, dc.ctx,
+                dc.rstate(),
+            )
         else:
-            mont = mg.mont_pow(self.mont, digits, dc.ctx)
+            mont = _pow_elems_dev(self.mont, digits, dc.ctx, dc.rstate())
         exponents = self.exponents + np.array(
             [e.exponent for e in encodings], dtype=np.int64
         )
@@ -1036,6 +1128,7 @@ class EncryptedBatch:
                 self.mont,
                 self._align_digits(np.full_like(self.exponents, target)),
                 self._dc.ctx,
+                self._dc.rstate(),
             )
         return EncryptedBatch(
             self.public_key, mont, np.array([target]), False
@@ -1071,22 +1164,30 @@ class EncryptedBatch:
             EncodedNumber.encode_many(self.public_key, row)
             for row in matrix.tolist()
         ]
-        # ciphertext^x_ji digit schedules over the [B, D] grid.
-        exps = [e.encoding for row in encodings for e in row]
-        bits = max(max(e.bit_length() for e in exps), 1)
-        digits = jnp.asarray(_digits_rows(exps, bits)).reshape(B, D, -1)
-        # Product exponents e_w[i] + e_x[j,i]; align each row to its min.
-        exp_grid = self.exponents[None, :] + np.array(
+        # Signed split over the grid (the inverse trick, so negative
+        # matrix entries cost ~53-bit exponents, not ~n-bit residues).
+        flat = [e for row in encodings for e in row]
+        ks, neg = self._signed_exponents(flat)
+        # Product exponents e_w[i] + e_x[j,i]; align each row to its min,
+        # fused into the modexp itself: (c^±|k|)^(BASE^d) = c^(±|k| BASE^d).
+        exp_grid = self.exponents[None, :D] + np.array(
             [[e.exponent for e in row] for row in encodings], dtype=np.int64
         )
         row_min = exp_grid.min(axis=1)
-        diffs = exp_grid - row_min[:, None]
-        factors = [
-            EncodedNumber.BASE ** int(d) for d in diffs.reshape(-1)
+        diffs = (exp_grid - row_min[:, None]).reshape(-1)
+        exps = [
+            k * EncodedNumber.BASE ** int(d) for k, d in zip(ks, diffs)
         ]
-        fbits = max(f.bit_length() for f in factors)
-        fdigits = jnp.asarray(_digits_rows(factors, fbits)).reshape(B, D, -1)
-        mont = _matvec_dev(w_mont, digits, fdigits, dc.ctx)
+        bits = max(max(e.bit_length() for e in exps), 1)
+        digits = jnp.asarray(_digits_rows(exps, bits)).reshape(B, D, -1)
+        if any(neg):
+            inv_mont = self.inverse_mont()[:D]
+        else:
+            inv_mont = w_mont
+        mask = jnp.asarray(np.array(neg, dtype=np.uint32).reshape(B, D))
+        mont = _matvec_dev(
+            w_mont, inv_mont, mask, digits, dc.ctx, dc.rstate()
+        )
         return EncryptedBatch(self.public_key, mont, row_min, False)
 
 

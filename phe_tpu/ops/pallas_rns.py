@@ -227,3 +227,192 @@ def pow_shared_rows(x_limbs, digits, conv, sys_, window=_rns.DEFAULT_WINDOW):
     x_res = _rns.to_rns(x_limbs, conv, sys_)
     u = ladder_cols(x_res.T, digits, sys_, window=window).T
     return _rns.from_rns(u, sys_)
+
+
+# -- per-element exponents (scalar multiply / exponent alignment) ------------
+
+
+def _ladder_vec_kernel(
+    digits_ref,
+    x_ref,
+    m_ref,
+    mu_ref,
+    t14_ref,
+    csig_ref,
+    dmainv_ref,
+    enmainv_ref,
+    ctau_ref,
+    negmb_ref,
+    onedom_ref,
+    r2dom_ref,
+    mbinv_ref,
+    w1_ref,
+    w2_ref,
+    out_ref,
+    acc_ref,
+    tab_ref,
+    *,
+    window,
+    k,
+):
+    """_ladder_kernel with a per-lane exponent (digits_ref: [n_windows, TB]).
+
+    The table factor is selected lane-wise by a one-hot sum over the
+    2**window entries (16 multiply-adds over [C, TB] per window) —
+    constant-time in the exponent like the limb engine's variant
+    (pallas_modexp._pow_vec_kernel), mirroring rns.pow_vec_xla.
+    """
+    C, TB = x_ref.shape
+    K1 = (C - 2 * k) + k
+    m = m_ref[:, :]
+    mu = mu_ref[:, :]
+    t14 = t14_ref[:, :]
+    csig = csig_ref[:, :]
+    dmainv = dmainv_ref[:, :]
+    enmainv = enmainv_ref[:, :]
+    ctau = ctau_ref[:, :]
+    negmb = negmb_ref[:, :]
+    mbinv = mbinv_ref[:, :]
+    w1 = w1_ref[:, :]
+    w2 = w2_ref[:, :]
+    m_r, mu_r = m[2 * k : 2 * k + 1], mu[2 * k : 2 * k + 1]
+    mi = jnp.concatenate([m[:k], m[2 * k :]], axis=0)
+    mui = jnp.concatenate([mu[:k], mu[2 * k :]], axis=0)
+    t14i = jnp.concatenate([t14[:k], t14[2 * k :]], axis=0)
+    one = jnp.broadcast_to(onedom_ref[:, :], (C, TB)).astype(jnp.uint32)
+
+    def dot(w, dig):
+        return jax.lax.dot_general(
+            w, dig, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    def combine_raw(o, mm, mmu, tt14):
+        c0 = o[:K1].astype(jnp.uint32)
+        c1 = o[K1 : 2 * K1].astype(jnp.uint32)
+        c2 = o[2 * K1 :].astype(jnp.uint32)
+        e = _mod_cols(c2 + (c1 >> 7), mm, mmu)
+        return c0 + ((c1 & 0x7F) << 7) + e * tt14
+
+    def montmul(x, y):
+        t = _mod_cols(x * y, m, mu)
+        sigma = _mod_cols(t[:k] * csig[:k], m[:k], mu[:k])
+        qhat = _mod_cols(
+            combine_raw(dot(w1, _digits_cols(sigma)), m[k:], mu[k:], t14[k:]),
+            m[k:],
+            mu[k:],
+        )
+        u_br = _mod_cols(
+            t[k:] * dmainv[k:] + qhat * enmainv[k:], m[k:], mu[k:]
+        )
+        tau = _mod_cols(u_br[:k] * ctau[k : 2 * k], m[k : 2 * k], mu[k : 2 * k])
+        s_raw = combine_raw(dot(w2, _digits_cols(tau)), mi, mui, t14i)
+        s_r = _mod_cols(s_raw[k : k + 1], m_r, mu_r)
+        beta = _mod_cols(
+            (s_r + (m_r - u_br[k : k + 1])) * mbinv, m_r, mu_r
+        )
+        u_a = _mod_cols(s_raw[:k] + beta * negmb[:k], m[:k], mu[:k])
+        return jnp.concatenate([u_a, u_br], axis=0)
+
+    xd = montmul(x_ref[:, :], jnp.broadcast_to(r2dom_ref[:, :], (C, TB)))
+    tab_ref[0] = one
+    tab_ref[1] = xd
+
+    def build(j, _):
+        tab_ref[j] = montmul(tab_ref[j - 1], xd)
+        return 0
+
+    jax.lax.fori_loop(2, 2**window, build, 0)
+
+    acc_ref[:, :] = one
+    n_windows = digits_ref.shape[0]
+
+    def step(i, _):
+        wi, j = i // (window + 1), i % (window + 1)
+        d = digits_ref[pl.ds(wi, 1), :]  # [1, TB] this element's digit
+        factor = jnp.zeros((C, TB), jnp.uint32)
+        for kk in range(2**window):
+            factor = factor + tab_ref[kk] * (d == kk).astype(jnp.uint32)
+        b = jnp.where(j < window, acc_ref[:, :], factor)
+        acc_ref[:, :] = montmul(acc_ref[:, :], b)
+        return 0
+
+    jax.lax.fori_loop(0, n_windows * (window + 1), step, 0)
+    unit = jnp.broadcast_to((m - m + 1).astype(jnp.uint32), (C, TB))
+    out_ref[:, :] = montmul(acc_ref[:, :], unit)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "tb"))
+def ladder_vec_cols(x_res, digits_cols, sys_, window=_rns.DEFAULT_WINDOW,
+                    tb=LANES):
+    """Windowed RNS modexp over [cpad, B] columns, per-element exponents.
+
+    digits_cols: int32[n_windows, B] MSB-first digit schedules, one column
+    per element. Returns [cpad, B] plain-RNS residues of x^e, <= kN + 1.
+    Padded lanes run the schedule of exponent 1 (a no-op power).
+    """
+    C, B = x_res.shape
+    k = sys_.k
+    pad = (-B) % tb
+    if pad:
+        x_res = jnp.pad(x_res, ((0, 0), (0, pad)))
+        pad_digits = jnp.zeros((digits_cols.shape[0], pad), jnp.int32)
+        pad_digits = pad_digits.at[-1, :].set(1)
+        digits_cols = jnp.concatenate(
+            [jnp.asarray(digits_cols, jnp.int32), pad_digits], axis=1
+        )
+    Bp = x_res.shape[1]
+    col = lambda v: v[:, None]
+    vec_specs = [pl.BlockSpec((C, 1), lambda i: (0, 0))] * 10
+    in_specs = (
+        [pl.BlockSpec((digits_cols.shape[0], tb), lambda i: (0, i))]
+        + [pl.BlockSpec((C, tb), lambda i: (0, i))]
+        + vec_specs
+        + [
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),
+            pl.BlockSpec(sys_.w_ext1.shape, lambda i: (0, 0)),
+            pl.BlockSpec(sys_.w_ext2.shape, lambda i: (0, 0)),
+        ]
+    )
+    inputs = [
+        jnp.asarray(digits_cols, jnp.int32),
+        x_res,
+        col(sys_.m),
+        col(sys_.mu),
+        col(sys_.t14),
+        col(sys_.c_sigma),
+        col(sys_.d_mainv),
+        col(sys_.e_nmainv),
+        col(sys_.c_tau),
+        col(sys_.neg_mb),
+        col(sys_.one_dom),
+        col(sys_.r2_dom),
+        sys_.mbinv_r[:, None],
+        sys_.w_ext1,
+        sys_.w_ext2,
+    ]
+    out = pl.pallas_call(
+        functools.partial(_ladder_vec_kernel, window=window, k=k),
+        out_shape=jax.ShapeDtypeStruct((C, Bp), jnp.uint32),
+        grid=(Bp // tb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((C, tb), lambda i: (0, i)),
+        scratch_shapes=[
+            pltpu.VMEM((C, tb), jnp.uint32),  # accumulator
+            pltpu.VMEM((2**window, C, tb), jnp.uint32),  # window table
+        ],
+        interpret=_interpret(),
+    )(*inputs)
+    return out[:, :B]
+
+
+def pow_vec_rows(x_limbs, digits, conv, sys_, window=_rns.DEFAULT_WINDOW):
+    """Row-major per-element-exponent wrapper (rns.pow_vec's TPU target).
+
+    x_limbs: [B, Lin] binary limbs (value < 2kN); digits: [B, n_windows]
+    int32 MSB-first schedules, one row per element. Bit-equal to
+    rns.pow_vec_xla (same integer representatives at every step).
+    """
+    x_res = _rns.to_rns(x_limbs, conv, sys_)
+    u = ladder_vec_cols(x_res.T, digits.T, sys_, window=window).T
+    return _rns.from_rns(u, sys_)

@@ -88,6 +88,24 @@ class TestEncryptedScoring:
         scores = enc_w.matvec(X).decrypt(priv)
         np.testing.assert_allclose(scores, X @ w, rtol=1e-10)
 
+    def test_matvec_matches_mul_sum_mixed_signs(self, keypair):
+        # matvec must equal the per-element mul + sum pipeline on
+        # mixed-sign matrices — pins that the [B, D] grid takes the
+        # inverse trick (short |mantissa| exponents, phe/paillier.py
+        # :745-749) rather than paying ~n-bit residue exponents.
+        pub, priv = keypair
+        rng = np.random.default_rng(7)
+        w_vals = [1.5, -0.25, 3.0, -2e-3]
+        X = rng.normal(size=(3, 4)).round(3)  # negatives guaranteed
+        enc_w = EncryptedBatch.encrypt(pub, w_vals)
+        got = enc_w.matvec(X).decrypt(priv)
+        want = [
+            enc_w.mul_scalars([float(v) for v in row]).sum().decrypt(priv)[0]
+            for row in X
+        ]
+        np.testing.assert_allclose(got, want, rtol=0, atol=0)
+        np.testing.assert_allclose(got, X @ np.asarray(w_vals), rtol=1e-9)
+
     def test_scoring_matches_sklearn(self, keypair):
         pub, priv = keypair
         model, X_test, y_test = train_spam_classifier(
