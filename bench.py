@@ -8,10 +8,17 @@ numbers measured in this environment at 2048 bits (BASELINE.md): encrypt
 9.2 ops/s, decrypt 32.7 ops/s, add 22218 ops/s, mul 297 ops/s. The
 north-star metric is encryptions+decryptions/sec/chip (BASELINE.json).
 
-Each op is end to end including host encoding/packing. Every run also
-re-proves bit-exactness on the execution backend: a pinned-r encrypt batch
-is compared against host-integer raw encryption, and the timed decrypt
-must return the values that were encrypted.
+Methodology: throughput benchmark — each op runs at a batch size where the
+kernels dominate the fixed per-dispatch cost (~26 ms over the tunnelled
+TPU transport; amortisation is the point of a batch engine), two warmup
+passes (compile + steady-state caches), median of 5 timed runs. Every op
+is measured end to end including host encode/packing and result sync.
+
+Parity gates: every run first re-proves bit-exactness of the full op
+surface on the execution backend (compiled Mosaic on TPU) — pinned-r
+encrypt vs host-integer raw encryption, decrypt roundtrip, add vs host
+mulmod, mixed-sign scalar multiply, and matvec vs mul+sum — before any
+number is reported.
 """
 
 import json
@@ -24,6 +31,15 @@ BASELINES = {
     "decrypt": 32.7,
     "add": 22218.0,
     "mul": 297.0,
+}
+
+# Per-op batch sizes (see scripts/sweep_b.py): large enough that the
+# kernel dominates dispatch latency, small enough to keep the run short.
+SIZES = {
+    "encrypt": 8192,
+    "decrypt": 8192,
+    "add": 65536,
+    "mul": 8192,
 }
 
 
@@ -41,18 +57,74 @@ def emit(op, ops_per_s):
     )
 
 
+def parity_gates(pub, priv):
+    """Bit-exactness of the whole measured op surface on this backend."""
+    import numpy as np
+
+    from phe_tpu.batch import EncryptedBatch
+    from phe_tpu.encoding import EncodedNumber
+
+    nsq = pub.nsquare
+    # 1. Pinned-r encrypt == host-integer raw encryption.
+    ms = [1, 2, 10100, pub.n - 1]
+    rs = [3, 7, 12345, pub.n - 2]
+    enc = EncryptedBatch.encrypt(
+        pub, [EncodedNumber(pub, m, 0) for m in ms], r_values=rs
+    )
+    got = enc.ciphertext_ints(be_secure=False)
+    want = [pub.raw_encrypt(m, r_value=r) for m, r in zip(ms, rs)]
+    assert got == want, "device/host encrypt parity failure"
+
+    # 2a. add at equal exponents: ciphertext product == host mulmod.
+    ea = EncryptedBatch.encrypt(pub, [3, -7, 1000, 42])
+    eb = EncryptedBatch.encrypt(pub, [5, 2, -999, 1])
+    got = (ea + eb).ciphertext_ints(be_secure=False)
+    want = [
+        x * y % nsq
+        for x, y in zip(
+            ea.ciphertext_ints(be_secure=False),
+            eb.ciphertext_ints(be_secure=False),
+        )
+    ]
+    assert got == want, "device add parity failure"
+    # 2b. add with exponent alignment (floats at different exponents).
+    vals_a = [1.5, -2.0, 300.0, 0.0625]
+    vals_b = [2.5, 7.0, -1.0, 4.0]
+    a = EncryptedBatch.encrypt(pub, vals_a)
+    b = EncryptedBatch.encrypt(pub, vals_b)
+    assert (a + b).decrypt(priv) == [
+        x + y for x, y in zip(vals_a, vals_b)
+    ], "add decrypt parity failure"
+
+    # 3. mul with mixed signs (per-element-exponent pow + inverse trick).
+    scal = [3.0, -0.5, 2.0, -16.0]
+    got = (a * scal).decrypt(priv)
+    want = [x * y for x, y in zip(vals_a, scal)]
+    assert got == want, "device mul parity failure"
+
+    # 4. matvec == mul_scalars + sum on a mixed-sign matrix, exactly.
+    X = np.array([[1.0, -2.0, 0.5, 3.0], [-1.5, 4.0, -0.25, 2.0]])
+    got = a.matvec(X).decrypt(priv)
+    want = [
+        a.mul_scalars([float(v) for v in row]).sum().decrypt(priv)[0]
+        for row in X
+    ]
+    assert got == want, "device matvec parity failure"
+
+    # 5. decrypt roundtrip (the timed decrypt re-proves this at scale).
+    assert a.decrypt(priv) == vals_a, "device decrypt parity failure"
+
+
 def main():
     import numpy as np
 
     from __graft_entry__ import _fixed_key
     from phe_tpu.batch import EncryptedBatch
-    from phe_tpu.encoding import EncodedNumber
 
     pub, priv = _fixed_key(2048)
+    parity_gates(pub, priv)
 
     rng = np.random.default_rng(12345)
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    vals = [float(v) for v in rng.uniform(-1e6, 1e6, B)]
 
     import jax
 
@@ -62,42 +134,47 @@ def main():
         # the tunnelled TPU transport.)
         np.asarray(jax.device_get(batch.mont[0]))
 
-    # Device parity gate: pinned-r encryption must match host-int math on
-    # the execution backend before any number is reported.
-    ms = [1, 2, 10100, pub.n - 1]
-    rs = [3, 7, 12345, pub.n - 2]
-    parity = EncryptedBatch.encrypt(
-        pub, [EncodedNumber(pub, m, 0) for m in ms], r_values=rs
-    )
-    got = parity.ciphertext_ints(be_secure=False)
-    want = [pub.raw_encrypt(m, r_value=r) for m, r in zip(ms, rs)]
-    assert got == want, "device/host encrypt parity failure"
-
-    def timeit(fn, runs=3):
-        fn()  # warmup: compile + device-constant setup
-        t0 = time.perf_counter()
+    def timeit(fn, runs=5, warmup=2):
+        for _ in range(warmup):
+            fn()  # compile + device-constant + cached-state setup
+        ts = []
         for _ in range(runs):
+            t0 = time.perf_counter()
             fn()
-        return runs * B / (time.perf_counter() - t0)
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[len(ts) // 2]
 
     # -- encrypt (fresh: encode, CSPRNG r, (n*m+1)*r^n mod n^2) ----------
-    emit("encrypt", timeit(lambda: sync(EncryptedBatch.encrypt(pub, vals))))
+    B = SIZES["encrypt"]
+    vals = [float(v) for v in rng.uniform(-1e6, 1e6, B)]
+    emit("encrypt", B / timeit(
+        lambda: sync(EncryptedBatch.encrypt(pub, vals))))
 
-    # -- decrypt (CRT, full device pipeline, host decode) ----------------
+    # -- decrypt (CRT, full device pipeline, compact host decode) --------
+    B = SIZES["decrypt"]
+    vals = [float(v) for v in rng.uniform(-1e6, 1e6, B)]
     ct = EncryptedBatch.encrypt(pub, vals)
     sync(ct)
     out = ct.decrypt(priv)  # warm + parity: decrypt returns what went in
-    assert out == vals, "device decrypt parity failure"
-    emit("decrypt", timeit(lambda: ct.decrypt(priv)))
+    assert out == vals, "device decrypt parity failure at scale"
+    emit("decrypt", B / timeit(lambda: ct.decrypt(priv)))
 
     # -- add enc+enc (aligned exponents: one Montgomery multiply) --------
+    B = SIZES["add"]
+    vals = [float(v) for v in rng.uniform(-1e6, 1e6, B)]
+    ct = EncryptedBatch.encrypt(pub, vals)
     ct2 = EncryptedBatch.encrypt(pub, vals)
+    sync(ct)
     sync(ct2)
-    emit("add", timeit(lambda: sync(ct + ct2)))
+    emit("add", B / timeit(lambda: sync(ct + ct2)))
 
-    # -- mul enc x float scalar (per-element short-exponent modexp) ------
+    # -- mul enc x float scalar (short-exponent modexp, inverse trick) ---
+    B = SIZES["mul"]
+    vals = [float(v) for v in rng.uniform(-1e6, 1e6, B)]
+    ct = EncryptedBatch.encrypt(pub, vals)
+    sync(ct)
     scalars = [float(v) for v in rng.uniform(-100.0, 100.0, B)]
-    emit("mul", timeit(lambda: sync(ct.mul_scalars(scalars))))
+    emit("mul", B / timeit(lambda: sync(ct.mul_scalars(scalars))))
 
 
 if __name__ == "__main__":

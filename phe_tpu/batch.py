@@ -35,6 +35,7 @@ the engine converges on a small closed set of compiled programs. The
 the logical batch length is ``len(exponents)``.
 """
 
+import functools
 import secrets
 from typing import NamedTuple
 
@@ -64,10 +65,7 @@ def _use_rns():
     limb engine on CPU (keeps the default test lane on the engine the
     Pallas kernels share; tests cover the RNS lane explicitly).
     """
-    import os
-
-    eng = os.environ.get("PHE_TPU_ENGINE", "auto")
-    return eng == "rns" or (eng == "auto" and jax.default_backend() == "tpu")
+    return _config.use_rns_engine()
 
 
 def bucket_rows(b):
@@ -86,12 +84,23 @@ def _digits_rows(exponents, bits, window=DEFAULT_WINDOW, pad_rows=None,
     """Stack per-element MSB-first digit schedules into [Bp, n_windows].
 
     Width-bucketed; rows padded to pad_rows with the schedule of pad_value
-    (default 1: x^1 = x, a safe identity for padded lanes).
+    (default 1: x^1 = x, a safe identity for padded lanes). Exponents
+    below 2^63 (every float mantissa / alignment factor in practice) take
+    a fully vectorised numpy path; larger ones fall back per element.
     """
     bits = _bucket_bits(max(bits, 1), window)
     exponents = list(exponents)
     if pad_rows is not None and len(exponents) < pad_rows:
         exponents += [pad_value] * (pad_rows - len(exponents))
+    n_windows = -(-bits // window)
+    small = [e for e in exponents if 0 <= e < (1 << 63)]
+    if len(small) == len(exponents) and (n_windows - 1) * window < 64:
+        arr = np.array(exponents, dtype=np.uint64)
+        shifts = np.arange(n_windows - 1, -1, -1, dtype=np.uint64) * np.uint64(
+            window
+        )
+        mask = np.uint64((1 << window) - 1)
+        return ((arr[:, None] >> shifts[None, :]) & mask).astype(np.int32)
     return np.stack([mg.exponent_digits(e, bits, window) for e in exponents])
 
 
@@ -133,17 +142,24 @@ def _bytes_to_ints(rows):
     ]
 
 
-@jax.jit
-def _encrypt_dev(m, r, n_limbs, nr2, n_digits, ctx):
-    """Fused fresh encryption: (n*m + 1) * r^n mod n^2, Montgomery form."""
+@functools.partial(jax.jit, static_argnames=("ln",))
+def _encrypt_dev(m_bytes, r_bytes, n_limbs, nr2, n_digits, ctx, ln):
+    """Fused fresh encryption: (n*m + 1) * r^n mod n^2, Montgomery form.
+
+    Inputs arrive as little-endian bytes (the host->device boundary ships
+    1 byte per 8 bits; limb unpacking happens on device, lm.unpack_bytes).
+    """
+    m = lm.unpack_bytes(m_bytes, ln)
+    r = lm.unpack_bytes(r_bytes, ctx.num_limbs)
     nude = _nude_raw(m, n_limbs, nr2, ctx)
     obf = mg.mont_pow_shared(mg.to_mont(r, ctx), n_digits, ctx)
     return mg.mont_mul(nude, obf, ctx)
 
 
 @jax.jit
-def _obfuscate_dev(mont, r, n_digits, ctx):
+def _obfuscate_dev(mont, r_bytes, n_digits, ctx):
     """Fused re-obfuscation: ct * r^n mod n^2 (phe/paillier.py:603-624)."""
+    r = lm.unpack_bytes(r_bytes, ctx.num_limbs)
     obf = mg.mont_pow_shared(mg.to_mont(r, ctx), n_digits, ctx)
     return mg.mont_mul(mont, obf, ctx)
 
@@ -197,24 +213,29 @@ def _pow_elems(mont, digits, ctx, rstate):
     return out.reshape(lead + (ctx.num_limbs,))
 
 
-@jax.jit
-def _encrypt_rns_dev(m, r, n_limbs, nr2, n_digits, ctx, rsys, conv):
+@functools.partial(jax.jit, static_argnames=("ln",))
+def _encrypt_rns_dev(m_bytes, r_bytes, n_limbs, nr2, n_digits, ctx, rsys,
+                     conv, ln):
     """Fresh encryption with the obfuscator modexp on the RNS engine."""
+    m = lm.unpack_bytes(m_bytes, ln)
+    r = lm.unpack_bytes(r_bytes, ctx.num_limbs)
     nude = _nude_raw(m, n_limbs, nr2, ctx)
     obf = _rns_pow_to_mont(r, n_digits, rsys, conv, ctx)
     return mg.mont_mul(nude, obf, ctx)
 
 
 @jax.jit
-def _obfuscate_rns_dev(mont, r, n_digits, ctx, rsys, conv):
+def _obfuscate_rns_dev(mont, r_bytes, n_digits, ctx, rsys, conv):
     """Re-obfuscation with the r^n modexp on the RNS engine."""
+    r = lm.unpack_bytes(r_bytes, ctx.num_limbs)
     obf = _rns_pow_to_mont(r, n_digits, rsys, conv, ctx)
     return mg.mont_mul(mont, obf, ctx)
 
 
-@jax.jit
-def _add_encoded_dev(mont, m, n_limbs, nr2, ctx):
+@functools.partial(jax.jit, static_argnames=("ln",))
+def _add_encoded_dev(mont, m_bytes, n_limbs, nr2, ctx, ln):
     """Fused scalar add: ct * (n*m + 1) mod n^2 (phe/paillier.py:673-675)."""
+    m = lm.unpack_bytes(m_bytes, ln)
     return mg.mont_mul(mont, _nude_raw(m, n_limbs, nr2, ctx), ctx)
 
 
@@ -319,10 +340,12 @@ def _add_encrypted_aligned_dev(a_mont, da, b_mont, db, ctx, rstate):
     return mg.mont_mul(a2, b2, ctx)
 
 
-@jax.jit
-def _add_scalars_aligned_dev(a_mont, da, m, n_limbs, nr2, ctx, rstate):
+@functools.partial(jax.jit, static_argnames=("ln",))
+def _add_scalars_aligned_dev(a_mont, da, m_bytes, n_limbs, nr2, ctx, rstate,
+                             ln):
     """Fused E(a)+b: alignment pow then multiply by the unblinded nude."""
     a2 = _pow_elems(a_mont, da, ctx, rstate)
+    m = lm.unpack_bytes(m_bytes, ln)
     return mg.mont_mul(a2, _nude_raw(m, n_limbs, nr2, ctx), ctx)
 
 
@@ -397,8 +420,7 @@ def _lfunction_half(xc, ctxh, pinv_hensel, h_limbs):
     return mg.export_canonical(hm, ctxh)
 
 
-@jax.jit
-def _decrypt_dev(ct_mont, pub_ctx, pk):
+def _decrypt_residue_limb(ct_mont, pub_ctx, pk):
     """Full batched CRT decryption on device -> plaintext residue limbs.
 
     Replaces the reference's scalar raw_decrypt (phe/paillier.py:328-374)
@@ -419,6 +441,73 @@ def _decrypt_dev(ct_mont, pub_ctx, pk):
         xc = mg.export_canonical(mg.from_mont(powed, ctx2), ctx2)
         halves.append(_lfunction_half(xc, ctxh, pinv_hensel, h_limbs))
     return _crt_recombine(halves[0], halves[1], pk)
+
+
+@jax.jit
+def _decrypt_dev(ct_mont, pub_ctx, pk):
+    """Limb-engine decrypt -> packed plaintext bytes (exact export path)."""
+    return lm.pack_bytes(_decrypt_residue_limb(ct_mont, pub_ctx, pk))
+
+
+@jax.jit
+def _decrypt_compact_dev(ct_mont, pub_ctx, pk):
+    """Limb-engine decrypt -> (compact decode rows, full packed bytes).
+
+    The full bytes stay on device unless the host actually needs a
+    fallback row (jax transfers lazily on device_get).
+    """
+    m = _decrypt_residue_limb(ct_mont, pub_ctx, pk)
+    return _decode_compact(m, pk), lm.pack_bytes(m)
+
+
+def _gt_const(x, comp):
+    """Per-row indicator value(x) > T, for canonical x and comp = R-1-T.
+
+    Branch-free bigint compare: x + (R-1-T) carries past the top limb iff
+    x >= T+1; the padded top limb after full normalisation is that carry.
+    """
+    nb = x.ndim - 1
+    widen = [(0, 0)] * nb + [(0, 1)]
+    s = jnp.pad(x, widen) + jnp.pad(jnp.broadcast_to(comp, x.shape), widen)
+    return lm.normalize(s)[..., -1]
+
+
+def _decode_compact(m, pk):
+    """Device half of float/int decoding: sign window + 64-bit mantissa.
+
+    m: [B, W] plaintext residue limbs (< n, possibly redundant). Emits
+    uint32 [B, 3] rows (mant_lo32, mant_hi32, flags) where flags bit 0 =
+    decodable (inside a sign window, phe/encoding.py:211-221 semantics),
+    bit 1 = negative window, bit 2 = |mantissa| < 2^64. The host finishes
+    decoding vectorised (one correctly-rounded ldexp per element) and
+    falls back to exact bigint decode for rows with any flag unset — so
+    the 2048-bit residue (280+ bytes) never crosses the host boundary for
+    the overwhelmingly common case.
+    """
+    m = lm.normalize(m)
+    ones = jnp.full(m.shape, lm.LIMB_MASK, dtype=jnp.uint32)
+    rc = (ones - m).at[..., 0].add(1)  # R - m (redundant limbs <= 2^14)
+    # n - m: the R excess carries out of the top limb, which normalize
+    # drops by design (m = 0 leaves exactly n, which fails the negative
+    # window test as it must).
+    nm = lm.normalize(jnp.broadcast_to(pk.n_w, m.shape) + rc)
+    pos = _gt_const(m, pk.maxc_w) == 0  # m <= max_int
+    negf = _gt_const(nm, pk.maxc_w) == 0  # n - m <= max_int
+    ok = pos | negf
+    mant = jnp.where(negf[..., None], nm, m)
+    w0 = mant[..., 0] | (mant[..., 1] << 14) | ((mant[..., 2] & 0xF) << 28)
+    w1 = (
+        (mant[..., 2] >> 4)
+        | (mant[..., 3] << 10)
+        | ((mant[..., 4] & 0xFF) << 24)
+    )
+    fits = (mant[..., 4] < 256) & jnp.all(mant[..., 5:] == 0, axis=-1)
+    flags = (
+        ok.astype(jnp.uint32)
+        | (negf.astype(jnp.uint32) << 1)
+        | (fits.astype(jnp.uint32) << 2)
+    )
+    return jnp.stack([w0, w1, flags], axis=-1)
 
 
 def _crt_recombine(mp, mq, pk):
@@ -442,15 +531,15 @@ def _crt_recombine(mp, mq, pk):
         ),
         pk.ctx_hq,
     )
-    # m = mp + p * u  (< p*q = n, exact); normalize for the byte packer.
+    # m = mp + p * u  (< p*q = n, exact), normalized to canonical limbs.
     prod = lm.mul_full(u, jnp.broadcast_to(pk.p_limbs, u.shape))
     pad = prod.shape[-1] - mp.shape[-1]
     m = lm.add(prod, jnp.pad(mp, [(0, 0)] * (mp.ndim - 1) + [(0, pad)]))
-    return lm.pack_bytes(lm.normalize(m))
+    return lm.normalize(m)
 
 
-@jax.jit
-def _decrypt_rns_dev(ct_mont, pub_ctx, pk, rsys_p, conv_p, rsys_q, conv_q):
+def _decrypt_residue_rns(ct_mont, pub_ctx, pk, rsys_p, conv_p, rsys_q,
+                         conv_q):
     """CRT decryption with both half-width modexps on the RNS engine.
 
     The wide ciphertext residue is first folded into each prime-square
@@ -471,6 +560,22 @@ def _decrypt_rns_dev(ct_mont, pub_ctx, pk, rsys_p, conv_p, rsys_q, conv_q):
         xc = mg.export_canonical(mg.from_mont(powed, ctx2), ctx2)
         halves.append(_lfunction_half(xc, ctxh, pinv_hensel, h_limbs))
     return _crt_recombine(halves[0], halves[1], pk)
+
+
+@jax.jit
+def _decrypt_rns_dev(ct_mont, pub_ctx, pk, rsys_p, conv_p, rsys_q, conv_q):
+    """RNS-engine decrypt -> packed plaintext bytes (exact export path)."""
+    return lm.pack_bytes(_decrypt_residue_rns(
+        ct_mont, pub_ctx, pk, rsys_p, conv_p, rsys_q, conv_q))
+
+
+@jax.jit
+def _decrypt_compact_rns_dev(ct_mont, pub_ctx, pk, rsys_p, conv_p, rsys_q,
+                             conv_q):
+    """RNS-engine decrypt -> (compact decode rows, full packed bytes)."""
+    m = _decrypt_residue_rns(
+        ct_mont, pub_ctx, pk, rsys_p, conv_p, rsys_q, conv_q)
+    return _decode_compact(m, pk), lm.pack_bytes(m)
 
 
 class PublicDeviceContext:
@@ -527,15 +632,17 @@ class PublicDeviceContext:
     # -- core batch programs ----------------------------------------------
 
     def pack_messages(self, encodings, pad_rows=None):
-        """Encoded residues m < n -> [Bp, Ln] limb array (device input).
+        """Encoded residues m < n -> [Bp, nb] uint8 rows (device input).
 
         Rows pad with m = 0 (the additive/encryption identity: nude
-        ciphertext 1) up to pad_rows or the bucket size.
+        ciphertext 1) up to pad_rows or the bucket size. Bytes, not limb
+        lanes: the device unpacks (lm.unpack_bytes), keeping the
+        host->device transfer at 1 byte per 8 bits.
         """
         if pad_rows is None:
             pad_rows = bucket_rows(len(encodings))
         encodings = _pad_list(encodings, pad_rows, 0)
-        return jnp.asarray(hl.ints_to_limbs(encodings, self.Ln))
+        return jnp.asarray(hl.ints_to_bytes(encodings, (self.n_bits + 7) // 8))
 
     def nude_encrypt(self, encodings):
         """(n*m + 1) mod n^2 in Montgomery form, for residues m < n.
@@ -546,49 +653,54 @@ class PublicDeviceContext:
         identical — so the batch path needs no data-dependent branch.
         """
         return _nude_encrypt_dev(self.pack_messages(encodings),
-                                 self.n_limbs, self.nr2_limbs, self.ctx)
+                                 self.n_limbs, self.nr2_limbs, self.ctx,
+                                 ln=self.Ln)
 
-    def random_r_limbs(self, count, r_values=None):
-        """[Bp, L] packed blinding bases from the system CSPRNG.
+    def random_r_bytes(self, count, r_values=None):
+        """[Bp, nb] uint8 blinding bases from the system CSPRNG.
 
         With r_values given, reproduces the reference bit-for-bit
         (phe/paillier.py:136-143 obfuscator semantics), padding to the
         row bucket with r = 1 (identity obfuscator).
 
         The default draw is fully vectorised: one token_bytes call yields
-        (n_bits + 64)-bit raw values packed straight into limbs with no
-        per-element Python. The obfuscator distribution r^n with r the
+        (n_bits + 64)-bit raw values shipped as raw bytes (the device
+        unpacks into limbs). The obfuscator distribution r^n with r the
         raw value is within 2^-64 statistical distance of the reference's
         uniform r in [1, n) (the standard extra-64-bits argument; the raw
         value reduces mod n implicitly inside the modexp).
         """
         bucket = bucket_rows(count)
+        nbytes = (self.n_bits + 64 + 7) // 8
         if r_values is not None:
             r_values = _pad_list(r_values, bucket, 1)
-            return jnp.asarray(hl.ints_to_limbs(r_values, self.L))
-        nbytes = (self.n_bits + 64 + 7) // 8
+            need = max(
+                nbytes, max((v.bit_length() + 7) // 8 for v in r_values)
+            )
+            return jnp.asarray(hl.ints_to_bytes(r_values, need))
         raw = np.frombuffer(
             secrets.token_bytes(bucket * nbytes), dtype=np.uint8
         ).reshape(bucket, nbytes)
-        return jnp.asarray(hl.bytes_to_limbs(raw, self.L))
+        return jnp.asarray(raw)
 
     def encrypt_mont(self, encodings, r_values=None):
         """Fused fresh encryption (n*m+1)*r^n for encoded residues."""
         m = self.pack_messages(encodings)
-        r = self.random_r_limbs(len(encodings), r_values)
+        r = self.random_r_bytes(len(encodings), r_values)
         if _use_rns():
             rsys, conv = self.rns_state()
             return _encrypt_rns_dev(
                 m, r, self.n_limbs, self.nr2_limbs, self.n_digits, self.ctx,
-                rsys, conv,
+                rsys, conv, ln=self.Ln,
             )
         return _encrypt_dev(
-            m, r, self.n_limbs, self.nr2_limbs, self.n_digits, self.ctx
+            m, r, self.n_limbs, self.nr2_limbs, self.n_digits, self.ctx,
+            ln=self.Ln,
         )
 
     def obfuscate_mont(self, mont):
         """Fresh uniform re-obfuscation of a Montgomery ciphertext batch."""
-        r = self.random_r_limbs(mont.shape[0])
+        r = self.random_r_bytes(mont.shape[0])
         if _use_rns():
             rsys, conv = self.rns_state()
             return _obfuscate_rns_dev(
@@ -644,9 +756,9 @@ class PublicDeviceContext:
         return _pow_elems_dev(ct_mont, digits, self.ctx, self.rstate())
 
 
-@jax.jit
-def _nude_encrypt_dev(m, n_limbs, nr2, ctx):
-    return _nude_raw(m, n_limbs, nr2, ctx)
+@functools.partial(jax.jit, static_argnames=("ln",))
+def _nude_encrypt_dev(m_bytes, n_limbs, nr2, ctx, ln):
+    return _nude_raw(lm.unpack_bytes(m_bytes, ln), n_limbs, nr2, ctx)
 
 
 @jax.jit
@@ -672,6 +784,8 @@ class PrivateDeviceConstants(NamedTuple):
     pinvq_limbs: jnp.ndarray  # p^-1 mod q canonical [Lh]
     q_limbs: jnp.ndarray  # q canonical [Lh]
     p_limbs: jnp.ndarray  # p canonical [Lh]
+    n_w: jnp.ndarray  # n canonical [2 Lh] (decode window tests)
+    maxc_w: jnp.ndarray  # 2^(28 Lh) - 1 - max_int canonical [2 Lh]
 
 
 class PrivateDeviceContext:
@@ -709,6 +823,10 @@ class PrivateDeviceContext:
             pinvq_limbs=pack(private_key.p_inverse),
             q_limbs=pack(q),
             p_limbs=pack(p),
+            n_w=jnp.asarray(hl.int_to_limbs(pub.n, 2 * Lh)),
+            maxc_w=jnp.asarray(hl.int_to_limbs(
+                (1 << (lm.LIMB_BITS * 2 * Lh)) - 1 - pub.max_int, 2 * Lh
+            )),
         )
         # Kept for the two-phase API and tests.
         self.ctx_p, self.red_p = self.consts.ctx_p, self.consts.red_p
@@ -771,6 +889,22 @@ class PrivateDeviceContext:
         else:
             m = _decrypt_dev(ct_mont, self.pub_ctx.ctx, self.consts)
         return _bytes_to_ints(jax.device_get(m))
+
+    def raw_decrypt_compact(self, ct_mont):
+        """(compact decode rows, full packed bytes) — see _decode_compact.
+
+        Same fused decryption, but the plaintext crosses the host boundary
+        as 12 bytes per element (sign window + 64-bit mantissa + flags);
+        the full residue bytes stay on device unless a row needs the
+        exact-decode fallback.
+        """
+        if _use_rns():
+            (rsys_p, conv_p), (rsys_q, conv_q) = self.rns_state()
+            return _decrypt_compact_rns_dev(
+                ct_mont, self.pub_ctx.ctx, self.consts,
+                rsys_p, conv_p, rsys_q, conv_q,
+            )
+        return _decrypt_compact_dev(ct_mont, self.pub_ctx.ctx, self.consts)
 
 
 class EncryptedBatch:
@@ -893,7 +1027,14 @@ class EncryptedBatch:
         ]
 
     def decrypt(self, private_key, Encoding=None):
-        """Decrypt and decode the whole batch."""
+        """Decrypt and decode the whole batch.
+
+        With the stock base-16 EncodedNumber the decode finishes on the
+        compact device path (_decode_compact): the host receives 12 bytes
+        per element instead of the full 2048-bit residue — the residue
+        export was the single biggest non-kernel cost over a tunnelled
+        TPU. Custom Encoding classes take the exact bigint path.
+        """
         if private_key.public_key != self.public_key:
             raise ValueError(
                 "encrypted batch was encrypted against a different key!"
@@ -901,11 +1042,61 @@ class EncryptedBatch:
         if Encoding is None:
             Encoding = EncodedNumber
         pdc = private_key.device_context()
+        if Encoding is EncodedNumber and EncodedNumber.BASE == 16:
+            return self._decrypt_fast(pdc, Encoding)
         residues = pdc.raw_decrypt_batch(self.mont)
         return [
             Encoding(self.public_key, m, int(e)).decode()
             for m, e in zip(residues, self.exponents)
         ]
+
+    def _decrypt_fast(self, pdc, Encoding):
+        """Vectorised decode from the compact device rows.
+
+        Exactness (vs phe/encoding.py:201-233's int/int division): BASE=16
+        is a power of two, so decoding is mantissa * 2^(4 e). For e < 0,
+        converting the <2^64 mantissa to float64 rounds half-even once and
+        np.ldexp is then exact for normal results — the same single
+        rounding as exact-rational division. A mantissa <= 2^53 converts
+        exactly, so even subnormal results round once (inside ldexp).
+        The only doubly-rounded corner — mantissa > 2^53 AND a subnormal
+        result (4e + 64 < -960) — plus overflow-window rows and mantissas
+        >= 2^64 fall back to the exact bigint decode (transferring the
+        full residues only then).
+        """
+        compact, full = pdc.raw_decrypt_compact(self.mont)
+        B = len(self)
+        c = np.asarray(jax.device_get(compact))[:B]
+        flags = c[:, 2]
+        mant = c[:, 0].astype(np.uint64) | (c[:, 1].astype(np.uint64) << 32)
+        exps = self.exponents
+        ok = (flags & 1) != 0
+        neg = (flags & 2) != 0
+        fits = (flags & 4) != 0
+        easy = ok & fits & (
+            (mant <= np.uint64(1 << 53)) | (4 * exps + 64 >= -960)
+        )
+        out = [None] * B
+        fl = easy & (exps < 0)
+        if fl.any():
+            idx = np.nonzero(fl)[0]
+            signed = np.where(neg[idx], -1.0, 1.0) * mant[idx].astype(
+                np.float64
+            )
+            vals = np.ldexp(signed, (4 * exps[idx]).astype(np.int32))
+            for i, v in zip(idx, vals):
+                out[i] = float(v)
+        for i in np.nonzero(easy & (exps >= 0))[0]:
+            v = int(mant[i]) * 16 ** int(exps[i])
+            out[i] = -v if neg[i] else v
+        hard = ~easy
+        if hard.any():
+            ints = _bytes_to_ints(np.asarray(jax.device_get(full))[:B])
+            for i in np.nonzero(hard)[0]:
+                out[i] = Encoding(
+                    self.public_key, ints[i], int(exps[i])
+                ).decode()
+        return out
 
     # -- homomorphic algebra ------------------------------------------------
 
@@ -1028,12 +1219,12 @@ class EncryptedBatch:
         )
         if (self.exponents == target).all():
             mont = _add_encoded_dev(
-                self.mont, m, dc.n_limbs, dc.nr2_limbs, dc.ctx
+                self.mont, m, dc.n_limbs, dc.nr2_limbs, dc.ctx, ln=dc.Ln
             )
         else:
             mont = _add_scalars_aligned_dev(
                 self.mont, self._align_digits(target), m, dc.n_limbs,
-                dc.nr2_limbs, dc.ctx, dc.rstate()
+                dc.nr2_limbs, dc.ctx, dc.rstate(), ln=dc.Ln
             )
         return EncryptedBatch(self.public_key, mont, target, False)
 

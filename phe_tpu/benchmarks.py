@@ -144,6 +144,46 @@ def bench_scaling(keysize=1024, batch=2048, runs=3, emit=print):
     return out
 
 
+def bench_mem(keysize=2048, test_size=100_000, step=10_000, emit=print):
+    """Memory per held ciphertext: host RSS and device HBM accounting.
+
+    The reference measures ru_maxrss growth while holding a list of
+    EncryptedNumber objects (examples/benchmarks.py:74-86). Here the same
+    host measurement runs against EncryptedBatch (ciphertexts resident on
+    device, host holds metadata only), plus the exact device-side
+    footprint: a ciphertext is one [L] uint32 Montgomery limb row, so
+    HBM bytes per ciphertext = 4 * L — the number that actually bounds
+    feasible batch sizes on a chip.
+    """
+    import resource
+
+    import phe_tpu
+    from phe_tpu.batch import EncryptedBatch
+
+    r_init = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    pub, _ = phe_tpu.generate_paillier_keypair(n_length=keysize)
+    dc = pub.device_context()
+    hbm_per_ct = 4 * dc.L
+    emit(json.dumps({
+        "metric": "hbm_bytes_per_ciphertext", "keysize": keysize,
+        "value": hbm_per_ct, "unit": "bytes",
+        "note": "uint32[L=%d] Montgomery limb row mod n^2" % dc.L,
+    }))
+    rng = np.random.default_rng(1)
+    held = []
+    for i in range(0, test_size, step):
+        vals = [float(v) for v in rng.uniform(-1e6, 1e6, step)]
+        held.append(_sync(EncryptedBatch.encrypt(pub, vals)))
+        n = (i + step)
+        rss_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss - r_init
+        emit(json.dumps({
+            "metric": "host_rss_per_ciphertext", "keysize": keysize,
+            "held": n, "rss_kb": rss_kb,
+            "value": round(1024.0 * rss_kb / n, 1), "unit": "bytes",
+        }))
+    return {"hbm_bytes_per_ciphertext": hbm_per_ct}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--key-sizes", default="1024,2048",
@@ -152,6 +192,8 @@ def main(argv=None):
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--scaling", action="store_true",
                     help="also run the mesh-scaling efficiency sweep")
+    ap.add_argument("--mem", action="store_true",
+                    help="also run the memory-per-ciphertext benchmark")
     args = ap.parse_args(argv)
 
     all_results = {}
@@ -159,6 +201,8 @@ def main(argv=None):
         all_results[ks] = bench_key_size(ks, args.batch, args.runs)
     if args.scaling:
         bench_scaling()
+    if args.mem:
+        bench_mem()
 
     print("\n== summary (ops/s, vs single-core CPython baseline) ==",
           file=sys.stderr)

@@ -28,10 +28,9 @@ def _build_and_load():
     with open(_SRC, "rb") as f:
         src = f.read()
     tag = hashlib.sha256(src).hexdigest()[:16]
-    cache_dir = os.environ.get(
-        "PHE_TPU_NATIVE_DIR",
-        os.path.join(os.path.expanduser("~"), ".cache", "phe_tpu", "native"),
-    )
+    from phe_tpu import config as _config
+
+    cache_dir = _config.current().native_dir
     so_path = os.path.join(cache_dir, "bigmath-%s.so" % tag)
     if not os.path.exists(so_path):
         os.makedirs(cache_dir, exist_ok=True)

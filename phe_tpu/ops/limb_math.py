@@ -174,6 +174,32 @@ def pack_bytes(x):
     return ((lo | (hi << (LIMB_BITS - s))) & 0xFF).astype(jnp.uint8)
 
 
+def unpack_bytes(buf, num_limbs):
+    """Little-endian bytes [..., nbytes] -> limbs [..., num_limbs] on device.
+
+    The device-side inverse of utils.limbs.bytes_to_limbs: limb j covers
+    bits [14j, 14j+14), spanning at most three bytes — three static
+    gathers, a shift and a mask. Lets hosts ship values (messages,
+    blinding entropy) at 1 byte per 8 bits instead of 4 bytes per 14 bits
+    — a 2.3x cut in host->device transfer, which dominates over a
+    tunnelled TPU link. Bits beyond the requested limbs are ignored.
+    """
+    nbytes = buf.shape[-1]
+    need = (LIMB_BITS * num_limbs + 7) // 8 + 2
+    if nbytes < need:
+        buf = jnp.pad(buf, [(0, 0)] * (buf.ndim - 1) + [(0, need - nbytes)])
+    j = np.arange(num_limbs)
+    o = (LIMB_BITS * j) // 8
+    s = jnp.asarray(((LIMB_BITS * j) % 8).astype(np.uint32))
+    b = buf.astype(jnp.uint32)
+    word = (
+        jnp.take(b, jnp.asarray(o), axis=-1)
+        | (jnp.take(b, jnp.asarray(o + 1), axis=-1) << 8)
+        | (jnp.take(b, jnp.asarray(o + 2), axis=-1) << 16)
+    )
+    return (word >> s) & LIMB_MASK
+
+
 def cond_sub(x, m_complement, m_width):
     """Map canonical x < 2M into [0, M): subtract M once if x >= M.
 

@@ -153,7 +153,7 @@ def build_context(modulus, num_limbs=None, mxu=True):
     the constant REDC matrices so the Pallas kernels run both Montgomery
     reduction products on the MXU.
     """
-    import os
+    from phe_tpu import config as _config
 
     if num_limbs is None:
         num_limbs = num_limbs_for_modulus(modulus.bit_length())
@@ -167,7 +167,7 @@ def build_context(modulus, num_limbs=None, mxu=True):
         mxu
         and num_limbs % 8 == 0
         and num_limbs <= 507  # MXU digit-sum exactness ceiling, see above
-        and os.environ.get("PHE_TPU_MXU", "1") != "0"
+        and _config.current().mxu
     ):
         w_mq, w_m, c_mq, c_m = _build_redc_matrices(modulus, m_prime, num_limbs)
     return MontgomeryContext(
@@ -303,15 +303,10 @@ def exponent_digits(exponent, exponent_bits, window=DEFAULT_WINDOW):
     )
 
 
-def _backend():
-    import os
-
-    return os.environ.get("PHE_TPU_BACKEND", "auto")
-
-
 def _use_pallas():
-    be = _backend()
-    return be == "pallas" or (be == "auto" and jax.default_backend() == "tpu")
+    from phe_tpu import config as _config
+
+    return _config.use_pallas_backend()
 
 
 def mont_pow_shared(base, digits, ctx, window=DEFAULT_WINDOW):

@@ -565,13 +565,9 @@ def pow_vec_xla(x_limbs, digits, conv, sys_, window=DEFAULT_WINDOW):
 
 def pow_vec(x_limbs, digits, conv, sys_, window=DEFAULT_WINDOW):
     """Dispatcher for the per-element-exponent ladder (see pow_shared)."""
-    import os
+    from phe_tpu import config as _config
 
-    be = os.environ.get("PHE_TPU_RNS_KERNEL", "auto")
-    use_kernel = be == "pallas" or (
-        be == "auto" and jax.default_backend() == "tpu"
-    )
-    if use_kernel and x_limbs.ndim == 2:
+    if _config.use_rns_pallas_kernel() and x_limbs.ndim == 2:
         from phe_tpu.ops import pallas_rns
 
         return pallas_rns.pow_vec_rows(
@@ -588,13 +584,9 @@ def pow_shared(x_limbs, digits, conv, sys_, window=DEFAULT_WINDOW):
     interpret mode off-TPU — the CI parity lane); xla forces the
     reference formulation.
     """
-    import os
+    from phe_tpu import config as _config
 
-    be = os.environ.get("PHE_TPU_RNS_KERNEL", "auto")
-    use_kernel = be == "pallas" or (
-        be == "auto" and jax.default_backend() == "tpu"
-    )
-    if use_kernel and x_limbs.ndim == 2:
+    if _config.use_rns_pallas_kernel() and x_limbs.ndim == 2:
         from phe_tpu.ops import pallas_rns
 
         return pallas_rns.pow_shared_rows(

@@ -34,12 +34,18 @@ def _pspec(ndim, vector_axes):
     return P(*spec)
 
 
-def allreduce_mul_mont(mont, ctx, mesh, vector_axes=None):
+def allreduce_mul_mont(mont, ctx, mesh, vector_axes=None,
+                       return_sharded=False):
     """Product over the batch axis of a [B, ..., L] Montgomery tensor.
 
     Shards B over the mesh dp axis (and the first inner axis, if any, over
     mp), reduces locally, then rings the partials around the dp axis with
     Montgomery-multiply combine. Returns [..., L], fully reduced.
+
+    return_sharded=True skips the final row-0 gather and returns the
+    [dp, ..., L] all-reduced array (every dp row identical) — required in
+    multi-process runs, where row 0 is only addressable on process 0
+    (callers read their own ``addressable_shards``).
     """
     if vector_axes is None:
         vector_axes = mont.ndim - 2
@@ -62,7 +68,8 @@ def allreduce_mul_mont(mont, ctx, mesh, vector_axes=None):
             local, mesh=mesh, in_specs=spec, out_specs=spec, check_vma=False
         )
     )
-    return fn(x)[0]
+    out = fn(x)
+    return out if return_sharded else out[0]
 
 
 def encrypted_sum_sharded(batch, mesh=None):

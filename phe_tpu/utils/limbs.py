@@ -95,6 +95,21 @@ def ints_to_limbs(values, num_limbs, limb_bits=LIMB_BITS):
     return bytes_to_limbs(buf, num_limbs, limb_bits)
 
 
+def ints_to_bytes(values, nbytes):
+    """Pack non-negative ints into a [B, nbytes] little-endian uint8 array.
+
+    The minimal host->device wire format (1 byte per 8 bits, vs 4-byte
+    uint32 lanes per 14-bit limb); the device unpacks with
+    limb_math.unpack_bytes. One C-speed to_bytes per value.
+    """
+    buf = np.zeros((len(values), nbytes), dtype=np.uint8)
+    for i, v in enumerate(values):
+        if v < 0:
+            raise ValueError("byte packing requires non-negative integers")
+        buf[i] = np.frombuffer(v.to_bytes(nbytes, "little"), dtype=np.uint8)
+    return buf
+
+
 def limbs_to_ints(limbs, limb_bits=LIMB_BITS):
     """Exact values of a [B, L] limb array (redundant limbs allowed).
 

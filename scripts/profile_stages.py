@@ -58,15 +58,18 @@ def main():
     residues = [e.encoding for e in encs]
     dt, m = t(lambda: dc.pack_messages(residues))
     print("enc.pack_messages        %8.2f ms" % (dt * 1e3), flush=True)
-    dt, r = t(lambda: dc.random_r_limbs(B))
-    print("enc.random_r_limbs       %8.2f ms" % (dt * 1e3), flush=True)
+    dt, r = t(lambda: dc.random_r_bytes(B))
+    print("enc.random_r_bytes       %8.2f ms" % (dt * 1e3), flush=True)
     m, r = block(m), block(r)
     rsys, conv = dc.rns_state()
+    from phe_tpu.utils import limbs as hl
 
-    dt, _ = t(lambda: block(bt._nude_encrypt_dev(m, dc.n_limbs, dc.nr2_limbs, dc.ctx)))
+    dt, _ = t(lambda: block(bt._nude_encrypt_dev(
+        m, dc.n_limbs, dc.nr2_limbs, dc.ctx, ln=dc.Ln)))
     print("enc.nude (dev)           %8.2f ms" % (dt * 1e3), flush=True)
-    x_res = block(jax.jit(rns.to_rns)(r, conv, rsys))
-    dt, _ = t(lambda: block(jax.jit(rns.to_rns)(r, conv, rsys)))
+    r_limbs = jax.numpy.asarray(hl.bytes_to_limbs(np.asarray(r), dc.L))
+    x_res = block(jax.jit(rns.to_rns)(r_limbs, conv, rsys))
+    dt, _ = t(lambda: block(jax.jit(rns.to_rns)(r_limbs, conv, rsys)))
     print("enc.to_rns (dev)         %8.2f ms" % (dt * 1e3), flush=True)
     from phe_tpu.ops import pallas_rns
 
@@ -76,7 +79,8 @@ def main():
     dt, _ = t(lambda: block(jax.jit(rns.from_rns)(u.T, rsys)))
     print("enc.from_rns (dev)       %8.2f ms" % (dt * 1e3), flush=True)
     dt, _ = t(lambda: block(bt._encrypt_rns_dev(
-        m, r, dc.n_limbs, dc.nr2_limbs, dc.n_digits, dc.ctx, rsys, conv)))
+        m, r, dc.n_limbs, dc.nr2_limbs, dc.n_digits, dc.ctx, rsys, conv,
+        ln=dc.Ln)))
     print("enc.full fused (dev)     %8.2f ms" % (dt * 1e3), flush=True)
     dt, _ = t(lambda: block(EncryptedBatch.encrypt(pub, vals).mont))
     print("enc.end_to_end           %8.2f ms -> %8.1f ops/s"

@@ -29,6 +29,49 @@ class TestEncryptDecrypt:
         out = batch.decrypt(priv)
         assert out == VALUES
 
+    def test_fast_decode_matches_exact(self, keypair):
+        # The compact device decode (batch._decode_compact + ldexp) must
+        # agree bit-for-bit with the exact bigint Encoding.decode on every
+        # edge the windows/rounding analysis covers: subnormals, >2^53
+        # mantissas (single-rounding equivalence), >=2^64 mantissas and
+        # huge ints (device fallback), ties, and negatives.
+        pub, priv = keypair
+        vals = [
+            2.0**-1040,            # subnormal result, mantissa <= 2^53
+            -(2.0**-1060),
+            1e-300, -1e300,
+            float((1 << 60) + 1),  # > 2^53 mantissa from an int-valued float
+            (1 << 200),            # int mantissa >= 2^64: fallback row
+            -(1 << 200) - 12345,
+            1, -1, 0, 17,
+            0.1, -3.14159e-20, 2.5, -2.5,
+        ]
+        batch = EncryptedBatch.encrypt(pub, vals)
+        got = batch.decrypt(priv)
+        residues = priv.device_context().raw_decrypt_batch(batch.mont)
+        want = [
+            EncodedNumber(pub, m, int(e)).decode()
+            for m, e in zip(residues[: len(vals)], batch.exponents)
+        ]
+        assert got == want
+        assert got == vals
+
+    def test_fast_decode_mixed_hard_rows_order(self, keypair):
+        # Fallback rows interleaved with fast rows keep their positions.
+        pub, priv = keypair
+        vals = [1.5, (1 << 100), -2.25, -(1 << 90), 7]
+        got = EncryptedBatch.encrypt(pub, vals).decrypt(priv)
+        assert got == vals
+
+    def test_decode_overflow_window_raises(self, keypair):
+        # A residue in the dead zone must still raise OverflowError
+        # through the fast path (it lands on the exact-decode fallback).
+        pub, priv = keypair
+        bad = pub.max_int + 1  # inside (max_int, n - max_int)
+        batch = EncryptedBatch.encrypt(pub, [EncodedNumber(pub, bad, 0)])
+        with pytest.raises(OverflowError):
+            batch.decrypt(priv)
+
     def test_roundtrip_unobfuscated(self, keypair):
         pub, priv = keypair
         batch = EncryptedBatch.encrypt(pub, VALUES, obfuscation="none")

@@ -282,3 +282,123 @@ class TestBatchCommands:
         single.write_text(json.dumps(element))
         r = runner.invoke(cli, ["decrypt", str(priv_file), str(single)])
         assert float(r.output.strip().splitlines()[-1]) == 7.25
+
+
+class TestFuzz:
+    """Randomized CLI pipelines, mirroring phe/tests/cli_test.py:348-398.
+
+    Scalar commands are host-only (fast), so these loops run at the
+    reference's iteration counts against a shared 256-bit key.
+    """
+
+    def _encrypt(self, runner, pub_file, tmp_path, name, value):
+        f = tmp_path / ("%s.json" % name)
+        r = runner.invoke(
+            cli,
+            ["encrypt", str(pub_file), "--output", str(f), "--", repr(value)],
+        )
+        assert r.exit_code == 0, r.output
+        return f
+
+    def _decrypt(self, runner, priv_file, f):
+        r = runner.invoke(cli, ["decrypt", str(priv_file), str(f)])
+        assert r.exit_code == 0, r.output
+        return float(r.output.strip().splitlines()[-1])
+
+    def test_add_random_ints(self, keyfiles, tmp_path):
+        import random as _random
+
+        rng = _random.Random(101)
+        d, priv_file, pub_file = keyfiles
+        runner = CliRunner()
+        out = tmp_path / "out.json"
+        for i in range(20):
+            a = rng.randrange(-(10**15), 10**15)
+            b = rng.randrange(-(10**15), 10**15)
+            ea = self._encrypt(runner, pub_file, tmp_path, "a%d" % i, a)
+            r = runner.invoke(
+                cli,
+                ["add", str(pub_file), str(ea), "--output", str(out), "--",
+                 repr(b)],
+            )
+            assert r.exit_code == 0, r.output
+            got = self._decrypt(runner, priv_file, out)
+            assert got == pytest.approx(float(a + b))
+
+    def test_addenc_random_floats(self, keyfiles, tmp_path):
+        import random as _random
+
+        rng = _random.Random(202)
+        d, priv_file, pub_file = keyfiles
+        runner = CliRunner()
+        out = tmp_path / "out.json"
+        for i in range(20):
+            a, b = rng.random(), rng.random()
+            ea = self._encrypt(runner, pub_file, tmp_path, "fa%d" % i, a)
+            eb = self._encrypt(runner, pub_file, tmp_path, "fb%d" % i, b)
+            r = runner.invoke(
+                cli,
+                ["addenc", str(pub_file), str(ea), str(eb),
+                 "--output", str(out)],
+            )
+            assert r.exit_code == 0, r.output
+            got = self._decrypt(runner, priv_file, out)
+            assert got == pytest.approx(float(a + b))
+
+    def test_multiply_random_ints(self, keyfiles, tmp_path):
+        import random as _random
+
+        rng = _random.Random(303)
+        d, priv_file, pub_file = keyfiles
+        runner = CliRunner()
+        out = tmp_path / "out.json"
+        for i in range(20):
+            a = rng.randrange(-10000, 10000)
+            b = rng.randrange(-10000, 10000)
+            ea = self._encrypt(runner, pub_file, tmp_path, "m%d" % i, a)
+            r = runner.invoke(
+                cli,
+                ["multiply", str(pub_file), "--output", str(out), "--",
+                 str(ea), repr(b)],
+            )
+            assert r.exit_code == 0, r.output
+            got = self._decrypt(runner, priv_file, out)
+            assert got == pytest.approx(float(a * b))
+
+    def test_pipeline_random_mix(self, keyfiles, tmp_path):
+        # Chained add -> addenc -> multiply pipelines with random operands
+        # (the composite shape of the reference's fuzz class).
+        import random as _random
+
+        rng = _random.Random(404)
+        d, priv_file, pub_file = keyfiles
+        runner = CliRunner()
+        for i in range(10):
+            a, b = rng.random() * 100, rng.random() * 100
+            c = rng.randrange(-50, 50)
+            k = rng.randrange(-20, 20)
+            ea = self._encrypt(runner, pub_file, tmp_path, "pa%d" % i, a)
+            eb = self._encrypt(runner, pub_file, tmp_path, "pb%d" % i, b)
+            s1 = tmp_path / "s1.json"
+            r = runner.invoke(
+                cli,
+                ["addenc", str(pub_file), str(ea), str(eb),
+                 "--output", str(s1)],
+            )
+            assert r.exit_code == 0, r.output
+            s2 = tmp_path / "s2.json"
+            r = runner.invoke(
+                cli,
+                ["add", str(pub_file), str(s1), "--output", str(s2), "--",
+                 repr(c)],
+            )
+            assert r.exit_code == 0, r.output
+            s3 = tmp_path / "s3.json"
+            r = runner.invoke(
+                cli,
+                ["multiply", str(pub_file), "--output", str(s3), "--",
+                 str(s2), repr(k)],
+            )
+            assert r.exit_code == 0, r.output
+            got = self._decrypt(runner, priv_file, s3)
+            assert got == pytest.approx(float((a + b + c) * k))
