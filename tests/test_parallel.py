@@ -70,3 +70,22 @@ def test_mixed_exponent_alignment(keypair):
     batch = EncryptedBatch.encrypt(pub, vals)
     total = encrypted_sum_sharded(batch, batch_mesh())
     np.testing.assert_allclose(total.decrypt(priv), [sum(vals)], rtol=1e-10)
+
+
+def test_scaling_harness_runs(keypair):
+    # The scaling-efficiency sweep (benchmarks.bench_scaling) must at
+    # least execute end to end on the CPU mesh: correct rates per device
+    # count, efficiency relative to 1 device recorded (the numbers are
+    # meaningful on real multi-chip hardware; the harness is validated
+    # here so the sweep cannot rot).
+    from phe_tpu import benchmarks
+
+    lines = []
+    out = benchmarks.bench_scaling(
+        keysize=128, batch=32, runs=1, emit=lines.append
+    )
+    assert 1 in out and 2 in out
+    for d, row in out.items():
+        assert row["elements_per_s"] > 0
+        assert row["scaling_efficiency"] > 0
+    assert len(lines) == len(out)
