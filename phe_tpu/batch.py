@@ -53,6 +53,10 @@ from phe_tpu.utils import limbs as hl
 _config.enable_persistent_cache()
 
 DEFAULT_WINDOW = mg.DEFAULT_WINDOW
+# CRT decrypt ladders use a wider window: at half-width geometry the
+# 2^5-entry table fits VMEM comfortably and saves ~2.6% of the Montgomery
+# products on the 1024-bit exponents (1296 -> 1262 per half).
+DECRYPT_WINDOW = 5
 _MIN_BUCKET = 4
 _WINDOW_GROUP = 8
 
@@ -323,7 +327,9 @@ def _crt_powers_dev(ct_mont, pub_ctx, ctx_p, red_p, dp_digits, ctx_q, red_q,
         (ctx_q, red_q, dq_digits),
     ):
         x = mg.mod_reduce(plain, ctx, table)
-        powed = mg.mont_pow_shared(mg.to_mont(x, ctx), digits, ctx)
+        powed = mg.mont_pow_shared(
+            mg.to_mont(x, ctx), digits, ctx, window=DECRYPT_WINDOW
+        )
         outs.append(mg.export_canonical(mg.from_mont(powed, ctx), ctx))
     return tuple(outs)
 
@@ -437,7 +443,9 @@ def _decrypt_residue_limb(ct_mont, pub_ctx, pk):
         (pk.ctx_q, pk.red_q, pk.dq_digits, pk.ctx_hq, pk.pinv2_q, pk.hq_limbs),
     ):
         x = mg.mod_reduce(plain, ctx2, red)
-        powed = mg.mont_pow_shared(mg.to_mont(x, ctx2), ddig, ctx2)
+        powed = mg.mont_pow_shared(
+            mg.to_mont(x, ctx2), ddig, ctx2, window=DECRYPT_WINDOW
+        )
         xc = mg.export_canonical(mg.from_mont(powed, ctx2), ctx2)
         halves.append(_lfunction_half(xc, ctxh, pinv_hensel, h_limbs))
     return _crt_recombine(halves[0], halves[1], pk)
@@ -538,43 +546,57 @@ def _crt_recombine(mp, mq, pk):
     return lm.normalize(m)
 
 
-def _decrypt_residue_rns(ct_mont, pub_ctx, pk, rsys_p, conv_p, rsys_q,
-                         conv_q):
+def _decrypt_residue_rns(ct_mont, pub_ctx, pk, half_p, half_q):
     """CRT decryption with both half-width modexps on the RNS engine.
 
-    The wide ciphertext residue is first folded into each prime-square
-    range by the limb engine's mod_reduce (the RNS entry bound needs the
-    first operand below 2^(14(L+1)); rsys_* are built with that
-    max_entry_bits), then each c^(p-1) mod p^2 runs as an RNS ladder.
+    The wide ciphertext residue folds into each prime-square range
+    (mod_reduce) and then enters the limb engine's Montgomery domain
+    BEFORE conversion to residues: the ladder input x*R is < 1.01 p^2, so
+    the RNS system needs no entry-bound channels (k = 152 instead of 160
+    at 2048-bit keys), and the extra R factor exits for free through the
+    ladder's exit constant E = R^(2-p): (xR)^(p-1) * R^(2-p) = x^(p-1) * R
+    — the output is already Montgomery-domain, saving the to_mont too.
+    half_*: (RNSSystem, RNSConversion, exit_res) per prime square.
     """
     plain = mg.from_mont(ct_mont, pub_ctx)
     halves = []
-    for ctx2, red, ddig, rsys, conv, ctxh, pinv_hensel, h_limbs in (
-        (pk.ctx_p, pk.red_p, pk.dp_digits, rsys_p, conv_p, pk.ctx_hp,
+    for ctx2, red, ddig, (rsys, conv, ers), ctxh, pinv_hensel, h_limbs in (
+        (pk.ctx_p, pk.red_p, pk.dp_digits, half_p, pk.ctx_hp,
          pk.pinv2_p, pk.hp_limbs),
-        (pk.ctx_q, pk.red_q, pk.dq_digits, rsys_q, conv_q, pk.ctx_hq,
+        (pk.ctx_q, pk.red_q, pk.dq_digits, half_q, pk.ctx_hq,
          pk.pinv2_q, pk.hq_limbs),
     ):
         x = mg.mod_reduce(plain, ctx2, red)  # [B, L2+1], value < 1.51 R
-        powed = _rns_pow_to_mont(x, ddig, rsys, conv, ctx2)
+        # Montgomery entry without the XLA outer product: the top limb t
+        # carries weight beta^L2 = R exactly and the value bound < 1.51 R
+        # forces t <= 1, so x*R^2*R^-1 = REDC(x_lo * R^2) + t * R^2 — one
+        # Pallas shared-operand multiply plus a limbwise add. Value
+        # <= 2.01 p^2 + p^2 <= 2k p^2: inside the ladder chain bound.
+        L2 = ctx2.num_limbs
+        xm = lm.add(
+            mg.mont_mul_const(x[..., :L2], ctx2.r2, ctx2),
+            x[..., L2:] * jnp.broadcast_to(ctx2.r2, x[..., :L2].shape),
+        )
+        wide = rns.pow_shared(
+            xm, ddig, conv, rsys, window=DECRYPT_WINDOW, exit_res=ers
+        )
+        powed = _fit_limbs(wide, ctx2.num_limbs)  # Montgomery domain
         xc = mg.export_canonical(mg.from_mont(powed, ctx2), ctx2)
         halves.append(_lfunction_half(xc, ctxh, pinv_hensel, h_limbs))
     return _crt_recombine(halves[0], halves[1], pk)
 
 
 @jax.jit
-def _decrypt_rns_dev(ct_mont, pub_ctx, pk, rsys_p, conv_p, rsys_q, conv_q):
+def _decrypt_rns_dev(ct_mont, pub_ctx, pk, half_p, half_q):
     """RNS-engine decrypt -> packed plaintext bytes (exact export path)."""
     return lm.pack_bytes(_decrypt_residue_rns(
-        ct_mont, pub_ctx, pk, rsys_p, conv_p, rsys_q, conv_q))
+        ct_mont, pub_ctx, pk, half_p, half_q))
 
 
 @jax.jit
-def _decrypt_compact_rns_dev(ct_mont, pub_ctx, pk, rsys_p, conv_p, rsys_q,
-                             conv_q):
+def _decrypt_compact_rns_dev(ct_mont, pub_ctx, pk, half_p, half_q):
     """RNS-engine decrypt -> (compact decode rows, full packed bytes)."""
-    m = _decrypt_residue_rns(
-        ct_mont, pub_ctx, pk, rsys_p, conv_p, rsys_q, conv_q)
+    m = _decrypt_residue_rns(ct_mont, pub_ctx, pk, half_p, half_q)
     return _decode_compact(m, pk), lm.pack_bytes(m)
 
 
@@ -605,11 +627,19 @@ class PublicDeviceContext:
         self._rns = None
 
     def rns_state(self):
-        """(RNSSystem, RNSConversion) for modexp mod n^2, input width L."""
+        """(RNSSystem, RNSConversion) for modexp mod n^2, or None.
+
+        None when the modulus exceeds the 14-bit-channel prime supply
+        (keys above ~2560 bits need more sub-2^14 primes than exist);
+        callers then stay on the limb engine, which has no size ceiling.
+        """
         if self._rns is None:
-            rsys = rns.build_rns(self.public_key.nsquare)
-            self._rns = (rsys, rns.build_conversion(rsys, self.L))
-        return self._rns
+            try:
+                rsys = rns.build_rns(self.public_key.nsquare)
+                self._rns = (rsys, rns.build_conversion(rsys, self.L))
+            except ValueError:
+                self._rns = (None, None)
+        return self._rns if self._rns != (None, None) else None
 
     @classmethod
     def build(cls, public_key):
@@ -687,8 +717,9 @@ class PublicDeviceContext:
         """Fused fresh encryption (n*m+1)*r^n for encoded residues."""
         m = self.pack_messages(encodings)
         r = self.random_r_bytes(len(encodings), r_values)
-        if _use_rns():
-            rsys, conv = self.rns_state()
+        st = self.rns_state() if _use_rns() else None
+        if st is not None:
+            rsys, conv = st
             return _encrypt_rns_dev(
                 m, r, self.n_limbs, self.nr2_limbs, self.n_digits, self.ctx,
                 rsys, conv, ln=self.Ln,
@@ -701,8 +732,9 @@ class PublicDeviceContext:
     def obfuscate_mont(self, mont):
         """Fresh uniform re-obfuscation of a Montgomery ciphertext batch."""
         r = self.random_r_bytes(mont.shape[0])
-        if _use_rns():
-            rsys, conv = self.rns_state()
+        st = self.rns_state() if _use_rns() else None
+        if st is not None:
+            rsys, conv = st
             return _obfuscate_rns_dev(
                 mont, r, self.n_digits, self.ctx, rsys, conv
             )
@@ -810,10 +842,14 @@ class PrivateDeviceContext:
         self.consts = PrivateDeviceConstants(
             ctx_p=ctx_p,
             red_p=mg.build_reduce_table(private_key.psquare, ctx_p, wide),
-            dp_digits=jnp.asarray(mg.exponent_digits(p - 1, half_bits)),
+            dp_digits=jnp.asarray(
+                mg.exponent_digits(p - 1, half_bits, DECRYPT_WINDOW)
+            ),
             ctx_q=ctx_q,
             red_q=mg.build_reduce_table(private_key.qsquare, ctx_q, wide),
-            dq_digits=jnp.asarray(mg.exponent_digits(q - 1, half_bits)),
+            dq_digits=jnp.asarray(
+                mg.exponent_digits(q - 1, half_bits, DECRYPT_WINDOW)
+            ),
             ctx_hp=ctx_hp,
             ctx_hq=ctx_hq,
             pinv2_p=pack(pow(p, -1, Rh)),
@@ -836,25 +872,36 @@ class PrivateDeviceContext:
         self._rns = None
 
     def rns_state(self):
-        """Per-prime-square RNS systems for the CRT decrypt modexps.
+        """Per-prime-square RNS halves for the CRT decrypt modexps.
 
-        Entry bound: mod_reduce hands the ladder values < 1.51 * R
-        (R = 2^(14 L2)) in L2+1 limbs, so max_entry_bits = 14*(L2+1) + 1.
+        Each half is (RNSSystem, RNSConversion, exit_res): the ladder
+        enters with Montgomery-domain values x*R < 1.01 p^2 (no entry
+        bound, so k is minimal) and exits through E = R^(2-p) mod p^2,
+        landing at x^(p-1) * R directly (see _decrypt_residue_rns).
         """
         if self._rns is None:
             priv = self.private_key
             state = []
-            for nsq, ctx2 in (
-                (priv.psquare, self.ctx_p),
-                (priv.qsquare, self.ctx_q),
-            ):
-                width = ctx2.num_limbs + 1
-                rsys = rns.build_rns(
-                    nsq, max_entry_bits=lm.LIMB_BITS * width + 1
-                )
-                state.append((rsys, rns.build_conversion(rsys, width)))
-            self._rns = tuple(state)
-        return self._rns
+            try:
+                for pp, nsq, ctx2 in (
+                    (priv.p, priv.psquare, self.ctx_p),
+                    (priv.q, priv.qsquare, self.ctx_q),
+                ):
+                    rsys = rns.build_rns(nsq)
+                    conv = rns.build_conversion(rsys, ctx2.num_limbs)
+                    R = 1 << (lm.LIMB_BITS * ctx2.num_limbs)
+                    E = pow(pow(R, -1, nsq), pp - 2, nsq)
+                    m_np = np.asarray(rsys.m)
+                    exit_res = jnp.asarray(
+                        np.array([E % int(mc) for mc in m_np], dtype=np.uint32)
+                    )
+                    state.append((rsys, conv, exit_res))
+                self._rns = tuple(state)
+            except ValueError:
+                # Prime-square modulus exceeds the 14-bit channel supply
+                # (keys above ~5300 bits): stay on the limb engine.
+                self._rns = (None, None)
+        return self._rns if self._rns != (None, None) else None
 
     @classmethod
     def build(cls, private_key):
@@ -880,11 +927,11 @@ class PrivateDeviceContext:
         _decrypt_dev / _decrypt_rns_dev); the host only rebuilds ints
         from packed bytes.
         """
-        if _use_rns():
-            (rsys_p, conv_p), (rsys_q, conv_q) = self.rns_state()
+        st = self.rns_state() if _use_rns() else None
+        if st is not None:
+            half_p, half_q = st
             m = _decrypt_rns_dev(
-                ct_mont, self.pub_ctx.ctx, self.consts,
-                rsys_p, conv_p, rsys_q, conv_q,
+                ct_mont, self.pub_ctx.ctx, self.consts, half_p, half_q
             )
         else:
             m = _decrypt_dev(ct_mont, self.pub_ctx.ctx, self.consts)
@@ -898,11 +945,11 @@ class PrivateDeviceContext:
         the full residue bytes stay on device unless a row needs the
         exact-decode fallback.
         """
-        if _use_rns():
-            (rsys_p, conv_p), (rsys_q, conv_q) = self.rns_state()
+        st = self.rns_state() if _use_rns() else None
+        if st is not None:
+            half_p, half_q = st
             return _decrypt_compact_rns_dev(
-                ct_mont, self.pub_ctx.ctx, self.consts,
-                rsys_p, conv_p, rsys_q, conv_q,
+                ct_mont, self.pub_ctx.ctx, self.consts, half_p, half_q
             )
         return _decrypt_compact_dev(ct_mont, self.pub_ctx.ctx, self.consts)
 

@@ -453,6 +453,13 @@ def mod_reduce(x, ctx, table):
         low = v[..., :L]
         high = v[..., L:]  # [..., K] limbs <= 2**16 (redundant headroom)
         K = high.shape[-1]
+        if K >= 1024:
+            # The 6-bit-part contraction below sums K terms of < 2**21
+            # each; K >= 1024 would overflow the uint32 accumulator.
+            raise ValueError(
+                "mod_reduce fold of %d over-limbs would overflow uint32 "
+                "(max 1023); reduce in stages" % K
+            )
         nbatch = v.ndim - 1
         acc = jnp.pad(low, [(0, 0)] * nbatch + [(0, 1)])  # [..., L+1]
         # sum_j high_j * powers[j] as three static uint32 contractions —

@@ -38,11 +38,15 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
-def _mod_cols(x, m, mu):
-    """Barrett on [R, TB] rows with [R, 1] constants (bounds: rns._mod)."""
+def _mod_cols(x, m, mu, steps=3):
+    """Barrett on [R, TB] rows with [R, 1] constants (bounds: rns._mod).
+
+    steps=2 is exact for x < 2^28 (products of two canonical residues and
+    the digit-combine carry term); steps=3 covers x < 2^30 (rns._mod).
+    """
     q = ((x >> 14) * mu) >> 14
     r = x - q * m
-    for s in (2, 1, 0):
+    for s in range(steps - 1, -1, -1):
         step = m << s
         r = jnp.where(r >= step, r - step, r)
     return r
@@ -68,6 +72,7 @@ def _ladder_kernel(
     negmb_ref,
     onedom_ref,
     r2dom_ref,
+    exitc_ref,
     mbinv_ref,
     w1_ref,
     w2_ref,
@@ -108,13 +113,13 @@ def _ladder_kernel(
         c0 = o[:K1].astype(jnp.uint32)
         c1 = o[K1 : 2 * K1].astype(jnp.uint32)
         c2 = o[2 * K1 :].astype(jnp.uint32)
-        e = _mod_cols(c2 + (c1 >> 7), mm, mmu)
+        e = _mod_cols(c2 + (c1 >> 7), mm, mmu, steps=2)
         return c0 + ((c1 & 0x7F) << 7) + e * tt14
 
     def montmul(x, y):
         """rns.rns_mont_mul, channel-major. See rns.py for the bounds."""
-        t = _mod_cols(x * y, m, mu)
-        sigma = _mod_cols(t[:k] * csig[:k], m[:k], mu[:k])
+        t = _mod_cols(x * y, m, mu, steps=2)
+        sigma = _mod_cols(t[:k] * csig[:k], m[:k], mu[:k], steps=2)
         qhat = _mod_cols(
             combine_raw(dot(w1, _digits_cols(sigma)), m[k:], mu[k:], t14[k:]),
             m[k:],
@@ -123,7 +128,9 @@ def _ladder_kernel(
         u_br = _mod_cols(
             t[k:] * dmainv[k:] + qhat * enmainv[k:], m[k:], mu[k:]
         )
-        tau = _mod_cols(u_br[:k] * ctau[k : 2 * k], m[k : 2 * k], mu[k : 2 * k])
+        tau = _mod_cols(
+            u_br[:k] * ctau[k : 2 * k], m[k : 2 * k], mu[k : 2 * k], steps=2
+        )
         s_raw = combine_raw(dot(w2, _digits_cols(tau)), mi, mui, t14i)
         s_r = _mod_cols(s_raw[k : k + 1], m_r, mu_r)
         beta = _mod_cols(
@@ -155,20 +162,23 @@ def _ladder_kernel(
         return 0
 
     jax.lax.fori_loop(0, n_windows * (window + 1), step, 0)
-    # Leave the domain: multiply by the integer 1. The unit vector is
-    # derived from an input rather than materialised with jnp.ones —
-    # an inline (C, TB) constant sends the Mosaic compiler into a
-    # pathological (>400 s, likely unbounded) optimisation loop.
-    unit = jnp.broadcast_to((m - m + 1).astype(jnp.uint32), (C, TB))
+    # Leave the domain: multiply by the exit constant (the integer 1 by
+    # default, or a per-key domain correction — see rns.pow_shared_xla).
+    # An input ref, never an inline (C, TB) constant: inline constants
+    # send the Mosaic compiler into a pathological (>400 s) loop.
+    unit = jnp.broadcast_to(exitc_ref[:, :], (C, TB)).astype(jnp.uint32)
     out_ref[:, :] = montmul(acc_ref[:, :], unit)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "tb"))
-def ladder_cols(x_res, digits, sys_, window=_rns.DEFAULT_WINDOW, tb=LANES):
+def ladder_cols(x_res, digits, sys_, window=_rns.DEFAULT_WINDOW, tb=LANES,
+                exit_res=None):
     """Windowed RNS modexp over [cpad, B] residue columns, shared exponent.
 
     Returns [cpad, B] residues of x^e in plain (non-Montgomery) RNS form,
     value <= kN + 1. Padded lanes compute on residue columns of 0.
+    exit_res: optional [cpad] residues of the exit constant (see
+    rns.pow_shared_xla); default is the integer 1.
     """
     C, B = x_res.shape
     k = sys_.k
@@ -177,7 +187,10 @@ def ladder_cols(x_res, digits, sys_, window=_rns.DEFAULT_WINDOW, tb=LANES):
         x_res = jnp.pad(x_res, ((0, 0), (0, pad)))
     Bp = x_res.shape[1]
     col = lambda v: v[:, None]
-    vec_specs = [pl.BlockSpec((C, 1), lambda i, _: (0, 0))] * 10
+    exit_col = (
+        jnp.ones((C, 1), jnp.uint32) if exit_res is None else exit_res[:, None]
+    )
+    vec_specs = [pl.BlockSpec((C, 1), lambda i, _: (0, 0))] * 11
     in_specs = [pl.BlockSpec((C, tb), lambda i, _: (0, i))] + vec_specs + [
         pl.BlockSpec((1, 1), lambda i, _: (0, 0)),
         pl.BlockSpec(sys_.w_ext1.shape, lambda i, _: (0, 0)),
@@ -195,6 +208,7 @@ def ladder_cols(x_res, digits, sys_, window=_rns.DEFAULT_WINDOW, tb=LANES):
         col(sys_.neg_mb),
         col(sys_.one_dom),
         col(sys_.r2_dom),
+        exit_col,
         sys_.mbinv_r[:, None],
         sys_.w_ext1,
         sys_.w_ext2,
@@ -218,14 +232,17 @@ def ladder_cols(x_res, digits, sys_, window=_rns.DEFAULT_WINDOW, tb=LANES):
     return out[:, :B]
 
 
-def pow_shared_rows(x_limbs, digits, conv, sys_, window=_rns.DEFAULT_WINDOW):
+def pow_shared_rows(x_limbs, digits, conv, sys_, window=_rns.DEFAULT_WINDOW,
+                    exit_res=None):
     """Row-major wrapper: binary limbs [B, Lin] -> binary limbs [B, out].
 
     XLA converts to residues, the Pallas kernel runs the ladder, XLA
     reconstructs binary limbs (rns.from_rns, incl. normalisation).
     """
     x_res = _rns.to_rns(x_limbs, conv, sys_)
-    u = ladder_cols(x_res.T, digits, sys_, window=window).T
+    u = ladder_cols(
+        x_res.T, digits, sys_, window=window, exit_res=exit_res
+    ).T
     return _rns.from_rns(u, sys_)
 
 
@@ -291,12 +308,12 @@ def _ladder_vec_kernel(
         c0 = o[:K1].astype(jnp.uint32)
         c1 = o[K1 : 2 * K1].astype(jnp.uint32)
         c2 = o[2 * K1 :].astype(jnp.uint32)
-        e = _mod_cols(c2 + (c1 >> 7), mm, mmu)
+        e = _mod_cols(c2 + (c1 >> 7), mm, mmu, steps=2)
         return c0 + ((c1 & 0x7F) << 7) + e * tt14
 
     def montmul(x, y):
-        t = _mod_cols(x * y, m, mu)
-        sigma = _mod_cols(t[:k] * csig[:k], m[:k], mu[:k])
+        t = _mod_cols(x * y, m, mu, steps=2)
+        sigma = _mod_cols(t[:k] * csig[:k], m[:k], mu[:k], steps=2)
         qhat = _mod_cols(
             combine_raw(dot(w1, _digits_cols(sigma)), m[k:], mu[k:], t14[k:]),
             m[k:],
@@ -305,7 +322,9 @@ def _ladder_vec_kernel(
         u_br = _mod_cols(
             t[k:] * dmainv[k:] + qhat * enmainv[k:], m[k:], mu[k:]
         )
-        tau = _mod_cols(u_br[:k] * ctau[k : 2 * k], m[k : 2 * k], mu[k : 2 * k])
+        tau = _mod_cols(
+            u_br[:k] * ctau[k : 2 * k], m[k : 2 * k], mu[k : 2 * k], steps=2
+        )
         s_raw = combine_raw(dot(w2, _digits_cols(tau)), mi, mui, t14i)
         s_r = _mod_cols(s_raw[k : k + 1], m_r, mu_r)
         beta = _mod_cols(

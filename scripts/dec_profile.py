@@ -32,7 +32,7 @@ def main():
     dc = pub.device_context()
     pdc = priv.device_context()
     pk = pdc.consts
-    (rsys_p, conv_p), (rsys_q, conv_q) = pdc.rns_state()
+    half_p, half_q = pdc.rns_state()
     rng = np.random.default_rng(3)
 
     for B in (4096, 8192):
@@ -41,10 +41,9 @@ def main():
         jax.block_until_ready(ct.mont)
 
         fused = lambda: jax.block_until_ready(bt._decrypt_rns_dev(
-            ct.mont, dc.ctx, pk, rsys_p, conv_p, rsys_q, conv_q))
+            ct.mont, dc.ctx, pk, half_p, half_q))
         dt_dev = t(fused)
-        mbytes = bt._decrypt_rns_dev(
-            ct.mont, dc.ctx, pk, rsys_p, conv_p, rsys_q, conv_q)
+        mbytes = bt._decrypt_rns_dev(ct.mont, dc.ctx, pk, half_p, half_q)
         jax.block_until_ready(mbytes)
         dt_get = t(lambda: jax.device_get(mbytes))
         host_rows = np.asarray(jax.device_get(mbytes))

@@ -90,7 +90,7 @@ def main():
     ct = EncryptedBatch.encrypt(pub, vals)
     block(ct.mont)
     pk = pdc.consts
-    (rsys_p, conv_p), (rsys_q, conv_q) = pdc.rns_state()
+    (rsys_p, conv_p, ers_p), (rsys_q, conv_q, ers_q) = pdc.rns_state()
     print("geom: pub L=%d k=%d cpad=%d | half L2=%d kp=%d cpad_p=%d" % (
         dc.L, rsys.k, rsys.cpad, pk.ctx_p.num_limbs, rsys_p.k, rsys_p.cpad),
         flush=True)
@@ -110,7 +110,8 @@ def main():
     print("dec.from_rns p (dev)     %8.2f ms" % (dt * 1e3), flush=True)
 
     dt, mbytes = t(lambda: block(bt._decrypt_rns_dev(
-        ct.mont, dc.ctx, pk, rsys_p, conv_p, rsys_q, conv_q)))
+        ct.mont, dc.ctx, pk, (rsys_p, conv_p, ers_p),
+        (rsys_q, conv_q, ers_q))))
     print("dec.full fused (dev)     %8.2f ms" % (dt * 1e3), flush=True)
     rows = jax.device_get(mbytes)
     dt, ints = t(lambda: bt._bytes_to_ints(np.asarray(jax.device_get(mbytes))))

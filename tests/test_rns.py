@@ -158,3 +158,17 @@ def test_pow_shared_various_exponents(system):
         digits = rns.rns_pow_digits(e, max(e.bit_length(), 1))
         out = np.asarray(rns.pow_shared_xla(rows, digits, conv, sys_))
         assert hl.limbs_to_int(out[0]) % N == pow(x, e, N), e
+
+
+def test_large_modulus_raises_and_engine_falls_back():
+    # The 14-bit channel supply caps the RNS engine near 2560-bit keys
+    # (mod-n^2 systems need ~2 primes per 13.8 bits and only ~779 primes
+    # exist in (2^13, 2^14)). Bigger keys must fall back to the limb
+    # engine instead of crashing — the DEFAULT keysize is 3072.
+    import phe_tpu
+
+    n = (1 << 3071) | 1  # synthetic 3072-bit modulus (shape-only test)
+    with pytest.raises(ValueError):
+        rns.build_rns(n * n)
+    pub = phe_tpu.PaillierPublicKey(n)
+    assert pub.device_context().rns_state() is None
