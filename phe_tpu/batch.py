@@ -57,6 +57,10 @@ DEFAULT_WINDOW = mg.DEFAULT_WINDOW
 # 2^5-entry table fits VMEM comfortably and saves ~2.6% of the Montgomery
 # products on the 1024-bit exponents (1296 -> 1262 per half).
 DECRYPT_WINDOW = 5
+# The encrypt/obfuscate ladder (2048-bit exponent n) also gains from a
+# wider window (2576 -> 2492 products at 2048-bit keys); the 2^5-entry
+# table at full cpad width (~10 MB) still fits scoped VMEM.
+ENCRYPT_WINDOW = 5
 _MIN_BUCKET = 4
 _WINDOW_GROUP = 8
 
@@ -156,7 +160,9 @@ def _encrypt_dev(m_bytes, r_bytes, n_limbs, nr2, n_digits, ctx, ln):
     m = lm.unpack_bytes(m_bytes, ln)
     r = lm.unpack_bytes(r_bytes, ctx.num_limbs)
     nude = _nude_raw(m, n_limbs, nr2, ctx)
-    obf = mg.mont_pow_shared(mg.to_mont(r, ctx), n_digits, ctx)
+    obf = mg.mont_pow_shared(
+        mg.to_mont(r, ctx), n_digits, ctx, window=ENCRYPT_WINDOW
+    )
     return mg.mont_mul(nude, obf, ctx)
 
 
@@ -164,7 +170,9 @@ def _encrypt_dev(m_bytes, r_bytes, n_limbs, nr2, n_digits, ctx, ln):
 def _obfuscate_dev(mont, r_bytes, n_digits, ctx):
     """Fused re-obfuscation: ct * r^n mod n^2 (phe/paillier.py:603-624)."""
     r = lm.unpack_bytes(r_bytes, ctx.num_limbs)
-    obf = mg.mont_pow_shared(mg.to_mont(r, ctx), n_digits, ctx)
+    obf = mg.mont_pow_shared(
+        mg.to_mont(r, ctx), n_digits, ctx, window=ENCRYPT_WINDOW
+    )
     return mg.mont_mul(mont, obf, ctx)
 
 
@@ -180,7 +188,8 @@ def _fit_limbs(wide, L):
     return wide[..., :L]
 
 
-def _rns_pow_to_mont(base_limbs, digits, rsys, conv, ctx):
+def _rns_pow_to_mont(base_limbs, digits, rsys, conv, ctx,
+                     window=DEFAULT_WINDOW):
     """RNS-engine modexp landing in the limb engine's Montgomery domain.
 
     base_limbs: [B, Lin] (value < 2kN); returns [B, L] Montgomery-domain
@@ -189,7 +198,7 @@ def _rns_pow_to_mont(base_limbs, digits, rsys, conv, ctx):
     (kN << 2^(14 L - 16) by the context's headroom) and to_mont absorbs
     the +jN offset (REDC of x * (R^2 mod M) with x < 2^9 M stays < 1.01 M).
     """
-    wide = rns.pow_shared(base_limbs, digits, conv, rsys)
+    wide = rns.pow_shared(base_limbs, digits, conv, rsys, window=window)
     return mg.to_mont(_fit_limbs(wide, ctx.num_limbs), ctx)
 
 
@@ -224,7 +233,8 @@ def _encrypt_rns_dev(m_bytes, r_bytes, n_limbs, nr2, n_digits, ctx, rsys,
     m = lm.unpack_bytes(m_bytes, ln)
     r = lm.unpack_bytes(r_bytes, ctx.num_limbs)
     nude = _nude_raw(m, n_limbs, nr2, ctx)
-    obf = _rns_pow_to_mont(r, n_digits, rsys, conv, ctx)
+    obf = _rns_pow_to_mont(r, n_digits, rsys, conv, ctx,
+                           window=ENCRYPT_WINDOW)
     return mg.mont_mul(nude, obf, ctx)
 
 
@@ -232,7 +242,8 @@ def _encrypt_rns_dev(m_bytes, r_bytes, n_limbs, nr2, n_digits, ctx, rsys,
 def _obfuscate_rns_dev(mont, r_bytes, n_digits, ctx, rsys, conv):
     """Re-obfuscation with the r^n modexp on the RNS engine."""
     r = lm.unpack_bytes(r_bytes, ctx.num_limbs)
-    obf = _rns_pow_to_mont(r, n_digits, rsys, conv, ctx)
+    obf = _rns_pow_to_mont(r, n_digits, rsys, conv, ctx,
+                           window=ENCRYPT_WINDOW)
     return mg.mont_mul(mont, obf, ctx)
 
 
@@ -613,7 +624,9 @@ class PublicDeviceContext:
         self.Ln = hl.num_limbs_for_bits(self.n_bits)  # packing width for m < n
         self.n_limbs = jnp.asarray(hl.int_to_limbs(n, self.Ln))
         # Digit schedule of the public exponent n (obfuscator r^n).
-        self.n_digits = jnp.asarray(mg.exponent_digits(n, self.n_bits))
+        self.n_digits = jnp.asarray(
+            mg.exponent_digits(n, self.n_bits, ENCRYPT_WINDOW)
+        )
         # n * R^2 mod n^2: shared operand turning the (n*m + 1) encryption
         # prologue into one Montgomery multiply (see _nude_raw).
         R = 1 << (lm.LIMB_BITS * self.L)
@@ -757,7 +770,9 @@ class PublicDeviceContext:
             xm = _pack_mont_dev(
                 jnp.asarray(hl.ints_to_limbs([x], self.L)), self.ctx
             )
-            self._h_mont = mg.mont_pow_shared(xm, self.n_digits, self.ctx)[0]
+            self._h_mont = mg.mont_pow_shared(
+                xm, self.n_digits, self.ctx, window=ENCRYPT_WINDOW
+            )[0]
         count = mont.shape[0]
         a = [secrets.randbits(exponent_bits) for _ in range(count)]
         digits = jnp.asarray(_digits_rows(a, exponent_bits))

@@ -80,18 +80,33 @@ def bench_key_size(keysize, batch, runs=3, emit=print):
     run("encrypt", lambda: _sync(EncryptedBatch.encrypt(pub, vals)))
     run("decrypt", lambda: enc.decrypt(priv))
 
-    # Roofline accounting: achieved fraction of the chip's u32-multiply peak.
+    # Roofline accounting: achieved fraction of the binding unit's peak,
+    # under the cost model of whichever engine actually ran.
+    from phe_tpu import batch as _batch
     from phe_tpu import profiling
 
     dc = pub.device_context()
     pdc = priv.device_context()
+    if _batch._use_rns() and dc.rns_state() is not None:
+        enc_cost = profiling.rns_encrypt_cost(
+            dc.n_bits, dc.rns_state()[0].k, _batch.ENCRYPT_WINDOW
+        )
+    else:
+        enc_cost = profiling.encrypt_cost(dc.n_bits, dc.L)
+    pst = pdc.rns_state() if _batch._use_rns() else None
+    if pst is not None:
+        dec_cost = profiling.rns_decrypt_cost(
+            dc.n_bits, pst[0][0].k, _batch.DECRYPT_WINDOW
+        )
+    else:
+        dec_cost = profiling.decrypt_cost(
+            dc.n_bits, pdc.consts.ctx_p.num_limbs, _batch.DECRYPT_WINDOW
+        )
     results["encrypt"]["speed_of_light"] = profiling.report(
-        "encrypt", results["encrypt"]["value"],
-        profiling.encrypt_cost(dc.n_bits, dc.L),
+        "encrypt", results["encrypt"]["value"], enc_cost
     )["speed_of_light_fraction"]
     results["decrypt"]["speed_of_light"] = profiling.report(
-        "decrypt", results["decrypt"]["value"],
-        profiling.decrypt_cost(dc.n_bits, pdc.consts.ctx_p.num_limbs),
+        "decrypt", results["decrypt"]["value"], dec_cost
     )["speed_of_light_fraction"]
     run("add_enc_enc", lambda: _sync(enc + enc2))
     run("add_enc_scalar", lambda: _sync(enc + scalars))

@@ -227,6 +227,10 @@ def ladder_cols(x_res, digits, sys_, window=_rns.DEFAULT_WINDOW, tb=LANES,
         functools.partial(_ladder_kernel, window=window, k=k),
         out_shape=jax.ShapeDtypeStruct((C, Bp), jnp.uint32),
         grid_spec=grid_spec,
+        # The window table alone is 2^w * C * tb * 4 bytes (10.1 MB at the
+        # 2048-bit-key geometry with window 5); raise Mosaic's default
+        # 16 MB scoped-VMEM ceiling to fit table + matrices + transients.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
         interpret=_interpret(),
     )(jnp.asarray(digits, jnp.int32), *inputs)
     return out[:, :B]
@@ -420,6 +424,7 @@ def ladder_vec_cols(x_res, digits_cols, sys_, window=_rns.DEFAULT_WINDOW,
             pltpu.VMEM((C, tb), jnp.uint32),  # accumulator
             pltpu.VMEM((2**window, C, tb), jnp.uint32),  # window table
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
         interpret=_interpret(),
     )(*inputs)
     return out[:, :B]

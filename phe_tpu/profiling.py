@@ -102,6 +102,39 @@ def decrypt_cost(n_bits, limbs_halfsq, window=4, mxu=True):
     return _scale(modexp_cost(n_bits // 2, limbs_halfsq, window, mxu), 2)
 
 
+# -- RNS (Cox-Rower) engine cost model (phe_tpu/ops/rns.py) ------------------
+#
+# One RNS Montgomery product over k channels per base (cpad ~ 2k + 8):
+# counting uint32 multiplies (1 per channel product, 2 per Barrett
+# reduction — the quotient estimate and q*m):
+#   t 3C; sigma/tau/u_a 3k each; both digit combines 3(k+8) each;
+#   qhat reduction 2(k+8); u_br 4(k+8)  =>  ~30k + O(1) VPU multiplies,
+# plus the two base-extension int8 matmuls: 2 * [3(k+8), 2k] digit rows
+# = 12 k (k+8) MACs.
+
+
+def rns_mont_mul_cost(k):
+    """{'vpu_u32_mul', 'mxu_i8_mac'} for one RNS Montgomery product."""
+    return {"vpu_u32_mul": 30 * k + 120, "mxu_i8_mac": 12 * k * (k + 8)}
+
+
+def rns_modexp_cost(exponent_bits, k, window):
+    """Unit costs of one windowed RNS modexp (incl. entry/exit products)."""
+    n_windows = -(-exponent_bits // window)
+    montmuls = n_windows * (window + 1) + 2**window - 2 + 2
+    return _scale(rns_mont_mul_cost(k), montmuls)
+
+
+def rns_encrypt_cost(n_bits, k, window):
+    """Fresh encryption on the RNS engine (obfuscator ladder dominates)."""
+    return rns_modexp_cost(n_bits, k, window)
+
+
+def rns_decrypt_cost(n_bits, k_half, window):
+    """CRT decryption: two half-width ladders on half-size channel sets."""
+    return _scale(rns_modexp_cost(n_bits // 2, k_half, window), 2)
+
+
 def ideal_seconds_per_op(cost, peaks=None):
     """Roofline lower bound: each unit at its own peak, perfect overlap."""
     if peaks is None:

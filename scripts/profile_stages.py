@@ -74,7 +74,7 @@ def main():
     from phe_tpu.ops import pallas_rns
 
     dig = dc.n_digits
-    dt, u = t(lambda: block(pallas_rns.ladder_cols(x_res.T, dig, rsys)))
+    dt, u = t(lambda: block(pallas_rns.ladder_cols(x_res.T, dig, rsys, window=bt.ENCRYPT_WINDOW)))
     print("enc.ladder (dev)         %8.2f ms" % (dt * 1e3), flush=True)
     dt, _ = t(lambda: block(jax.jit(rns.from_rns)(u.T, rsys)))
     print("enc.from_rns (dev)       %8.2f ms" % (dt * 1e3), flush=True)
@@ -104,7 +104,7 @@ def main():
     tr = jax.jit(rns.to_rns)
     dt, xr = t(lambda: block(tr(xp, conv_p, rsys_p)))
     print("dec.to_rns p (dev)       %8.2f ms" % (dt * 1e3), flush=True)
-    dt, up = t(lambda: block(pallas_rns.ladder_cols(xr.T, pk.dp_digits, rsys_p)))
+    dt, up = t(lambda: block(pallas_rns.ladder_cols(xr.T, pk.dp_digits, rsys_p, window=bt.DECRYPT_WINDOW)))
     print("dec.ladder p (dev)       %8.2f ms" % (dt * 1e3), flush=True)
     dt, _ = t(lambda: block(jax.jit(rns.from_rns)(up.T, rsys_p)))
     print("dec.from_rns p (dev)     %8.2f ms" % (dt * 1e3), flush=True)
