@@ -642,9 +642,12 @@ class PublicDeviceContext:
     def rns_state(self):
         """(RNSSystem, RNSConversion) for modexp mod n^2, or None.
 
-        None when the modulus exceeds the 14-bit-channel prime supply
-        (keys above ~2560 bits need more sub-2^14 primes than exist);
-        callers then stay on the limb engine, which has no size ceiling.
+        None when the modulus exceeds the RNS channel prime supply
+        (keys above ~3741 bits need more primes in (rns.M_MIN, 2^14)
+        than exist); callers then stay on the limb engine, which has no
+        size ceiling. The reference's default 3072-bit keysize
+        (phe/paillier.py:34) rides this fast engine: n^2 = 6144 bits
+        takes 913 of the 1,149 available channels.
         """
         if self._rns is None:
             try:
@@ -913,8 +916,8 @@ class PrivateDeviceContext:
                     state.append((rsys, conv, exit_res))
                 self._rns = tuple(state)
             except ValueError:
-                # Prime-square modulus exceeds the 14-bit channel supply
-                # (keys above ~5300 bits): stay on the limb engine.
+                # Prime-square modulus exceeds the RNS channel supply
+                # (keys above ~7582 bits): stay on the limb engine.
                 self._rns = (None, None)
         return self._rns if self._rns != (None, None) else None
 

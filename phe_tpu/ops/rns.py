@@ -26,9 +26,14 @@ Algorithm (one Montgomery product, modulus N, radix M_A)
 ========================================================
 Channel sets: base A = primes a_1..a_k (product M_A), base B = b_1..b_k
 (product M_B), one redundant channel m_r; all distinct primes in
-(2^13, 2^14). Values are represented by canonical residues in **all**
-channels. Requirements: M_A >= 4kN and M_B >= 4kN; chain invariant
-x, y <= 2kN.
+(M_MIN, 2^14) with M_MIN = 5700 (see "Barrett channel reduction" — the
+floor below which the fixed conditional-subtract ladders stop covering
+the quotient error). The prime supply in (5700, 2^14) is 1,149 channels
+versus 872 in (2^13, 2^14): the wider window is what lets the engine
+cover the reference's default 3072-bit keysize (n^2 = 6144-bit modulus,
+913 channels) instead of capping near 2560-bit keys. Values are
+represented by canonical residues in **all** channels. Requirements:
+M_A >= 4kN and M_B >= 4kN; chain invariant x, y <= 2kN.
 
 1. t_c = x_c * y_c mod m_c                          (all channels)
 2. sigma_i = t_i * c_i mod a_i, with the folded constant
@@ -73,11 +78,26 @@ compensation vector, as in montgomery._build_redc_matrices.
 
 Barrett channel reduction
 =========================
-mu_c = floor(2^28 / m_c); for x < 2^30:
-  q = ((x >> 14) * mu) >> 14  satisfies  x/m - 8 < q <= x/m
-(m > 2^13 so 2^14/m < 2; q*m <= x and q < 2^17 keep everything in
-uint32), hence r = x - q*m is in [0, 8m) and a (4m, 2m, m) conditional-
-subtract ladder lands in [0, m).
+mu_c = floor(2^28 / m_c); q = ((x >> 14) * mu) >> 14. Always q <= x/m,
+and the quotient error obeys
+
+  x/m - q  <  2^14/m + (x >> 14)/2^14 + 1.
+
+The conditional-subtract ladder must cover r = x - q*m < err*m, i.e.
+err <= 2^steps. With the channel floor m >= M_MIN = 5701
+(2^14/m <= 2.874), per call-site:
+
+* generic x < 2^30 (digit recombination + additive folds):
+  err < 2.874 + 4 + 1 = 7.88 < 8        -> steps=3 (4m, 2m, m);
+* product of two canonical residues x < m^2 (m < 2^14):
+  err < 2.874 + m^2/2^28 + 1 <= 4.00    -> steps=2 (2m, m)
+  (the m^2/2^28 term is what pins M_MIN: at m = 5690 the bound
+  crosses 4 exactly; 5701 leaves margin 0.005);
+* digit-combine carry x = c2 + (c1>>7) < T*16255 over T <= 2000
+  matmul terms: err < 2.874 + 0.121 + 1  -> steps=2.
+
+uint32 safety: mu <= floor(2^28/5701) = 47086 and x>>14 <= 2^16 - 1,
+so the quotient product stays below 3.09e9 < 2^32.
 
 This module is the host-side system builder plus the XLA reference
 implementation (bit-exact twin of the fused Pallas kernel in
@@ -96,6 +116,11 @@ from phe_tpu.utils import limbs as hl
 
 DEFAULT_WINDOW = 4
 _SPARE = 8  # channel rows past 2k: [r, r replicas] so the axis tiles
+# Channel-prime floor: the smallest modulus for which the fixed Barrett
+# conditional-subtract ladders (steps=2 for residue products, steps=3
+# for x < 2^30) still cover the quotient error — see the module
+# docstring's derivation. Primes in (M_MIN, 2^14): 1,149.
+M_MIN = 5701
 
 
 class RNSSystem(NamedTuple):
@@ -197,8 +222,13 @@ def build_rns(modulus, max_entry_bits=None):
     while True:
         k = -(-k // 8) * 8
         primes = _primes_below(1 << 14, 2 * k + 1)
-        if min(primes) <= (1 << 13):
-            raise ValueError("modulus too large for 14-bit RNS channels")
+        # Floor: ladder coverage (M_MIN). Cap: the digit-combine carry
+        # bound admits <= 2000 matmul terms, i.e. k <= 1000 (docstring).
+        if min(primes) < M_MIN or k > 1000:
+            raise ValueError(
+                "modulus too large for the (%d, 2^14) RNS channel supply"
+                % M_MIN
+            )
         A, B, m_r = primes[0 : 2 * k : 2], primes[1 : 2 * k : 2], primes[2 * k]
         M_A = M_B = 1
         for a in A:
@@ -335,10 +365,11 @@ def _mod(x, m, mu, steps=3):
 
     steps: conditional-subtract ladder length. The quotient estimate
     q = ((x >> 14) mu) >> 14 has error < 2^14/m + (x >> 14)/2^14 + 1, so
-    the remainder is < 8m for x < 2^30 (3 steps: 4m, 2m, m) and < 4m for
-    x < 2^28 (2 steps: 2m, m) — products of two canonical residues and
-    the digit-combine carry term qualify for the short ladder, cutting
-    ~10% of the per-product VPU work.
+    with m >= M_MIN the remainder is < 8m for x < 2^30 (3 steps:
+    4m, 2m, m) and < 4m for products x*y of two canonical residues
+    < m and the digit-combine carry term (2 steps: 2m, m) — the short
+    ladder cuts ~10% of the per-product VPU work. Full per-site bound
+    table in the module docstring.
     """
     q = ((x >> 14) * mu) >> 14
     r = x - q * m
@@ -349,7 +380,9 @@ def _mod(x, m, mu, steps=3):
 
 
 def _mulmod(x, y, m, mu):
-    # x, y canonical < 2^14: product < 2^28, short ladder applies.
+    # x, y canonical residues < m: product < m^2, short ladder applies
+    # (requires BOTH operands < m — a product merely < 2^28 against a
+    # smaller modulus needs steps=3; see from_rns's beta terms).
     return _mod(x * y, m, mu, steps=2)
 
 
@@ -384,7 +417,7 @@ def _combine_raw(c0, c1, c2, m, mu, t14):
     c0 = c0.astype(jnp.uint32)
     c1 = c1.astype(jnp.uint32)
     c2 = c2.astype(jnp.uint32)
-    # carry term < 2^24 + 2^17: quotient error < 2 + 2^-3 + 1 -> short ladder.
+    # carry term < 2000 * 16255 < 2^25: error < 2.88 + 0.13 + 1 -> short ladder.
     e = _mod(c2 + (c1 >> 7), m, mu, steps=2)
     return c0 + ((c1 & 0x7F) << 7) + e * t14
 
@@ -483,7 +516,9 @@ def from_rns(u, sys_):
     # shifted (c1 >> 7) + c2 < 2^17 + 2^24 < 2^25 => slots < 2^25.1.
     slots = c0 + ((c1 & 0x7F) << 7) + shift_up((c1 >> 7) + c2)
     # beta from the redundant channel (w_r terms reduced, sum < k*2^14).
-    terms = _mulmod(tau, sys_.w_r[k : 2 * k], sys_.m_r, sys_.mu_r)
+    # steps=3: tau < b_j can exceed m_r, so the product is < 2^28 but not
+    # < m_r^2 — the short ladder's error bound does not apply here.
+    terms = _mod(tau * sys_.w_r[k : 2 * k], sys_.m_r, sys_.mu_r, steps=3)
     s_r = _mod(jnp.sum(terms, axis=-1, keepdims=True), sys_.m_r, sys_.mu_r)
     u_r = u[..., 2 * k : 2 * k + 1]
     beta = _mod(

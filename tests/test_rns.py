@@ -161,14 +161,28 @@ def test_pow_shared_various_exponents(system):
 
 
 def test_large_modulus_raises_and_engine_falls_back():
-    # The 14-bit channel supply caps the RNS engine near 2560-bit keys
-    # (mod-n^2 systems need ~2 primes per 13.8 bits and only ~779 primes
-    # exist in (2^13, 2^14)). Bigger keys must fall back to the limb
-    # engine instead of crashing — the DEFAULT keysize is 3072.
+    # The channel supply (1,149 primes in (rns.M_MIN, 2^14)) caps the RNS
+    # engine near 3741-bit keys for the mod-n^2 encrypt path. Bigger keys
+    # must fall back to the limb engine instead of crashing.
     import phe_tpu
 
-    n = (1 << 3071) | 1  # synthetic 3072-bit modulus (shape-only test)
+    n = (1 << 4095) | 1  # synthetic 4096-bit modulus (shape-only test)
     with pytest.raises(ValueError):
         rns.build_rns(n * n)
     pub = phe_tpu.PaillierPublicKey(n)
     assert pub.device_context().rns_state() is None
+
+
+def test_default_keysize_rides_the_rns_engine():
+    # The reference defaults to 3072-bit keys (phe/paillier.py:34); the
+    # fast engine must cover them (round-3 verdict gap). Shape-only: the
+    # system builds, takes 913 channels, and its min prime sits in the
+    # widened (M_MIN, 2^13] window that makes this possible.
+    n = (1 << 3071) | 1
+    sys_ = rns.build_rns(n * n)
+    assert sys_.k == 456
+    m_min = int(np.asarray(sys_.m).min())
+    assert rns.M_MIN <= m_min < (1 << 13)
+    import phe_tpu
+
+    assert phe_tpu.PaillierPublicKey(n).device_context().rns_state() is not None
