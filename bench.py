@@ -43,18 +43,49 @@ SIZES = {
 }
 
 
-def emit(op, ops_per_s):
-    print(
-        json.dumps(
-            {
-                "metric": "paillier_%s_2048_batched" % op,
-                "value": round(ops_per_s, 2),
-                "unit": "ops/s",
-                "vs_baseline": round(ops_per_s / BASELINES[op], 2),
-            }
+def emit(op, ops_per_s, cost=None):
+    """One JSON line; speed_of_light = measured / corrected-roofline
+    (phe_tpu.profiling: measured VPU issue rates + MXU peak, max over
+    units) when a cost model for the op is supplied."""
+    line = {
+        "metric": "paillier_%s_2048_batched" % op,
+        "value": round(ops_per_s, 2),
+        "unit": "ops/s",
+        "vs_baseline": round(ops_per_s / BASELINES[op], 2),
+    }
+    if cost is not None:
+        from phe_tpu import profiling
+
+        rep = profiling.report(op, ops_per_s, cost)
+        line["speed_of_light"] = rep["speed_of_light_fraction"]
+        line["bound_by"] = rep["bound_by"]
+    print(json.dumps(line), flush=True)
+
+
+def op_costs(pub, priv):
+    """Roofline cost models for the four measured ops on the engines
+    that actually run them (RNS ladders on TPU; limb mont_mul for add)."""
+    from phe_tpu import batch as bt
+    from phe_tpu import profiling
+
+    dc = pub.device_context()
+    pdc = priv.device_context()
+    k_pub = dc.rns_state().rsys.k if dc.rns_state() else None
+    pst = pdc.rns_state()
+    return {
+        "encrypt": profiling.rns_encrypt_cost(
+            dc.n_bits, k_pub, bt.ENCRYPT_WINDOW
+        ) if k_pub else profiling.encrypt_cost(dc.n_bits, dc.L),
+        "decrypt": profiling.rns_decrypt_cost(
+            dc.n_bits, pst[0][0].k, bt.DECRYPT_WINDOW
+        ) if pst else profiling.decrypt_cost(
+            dc.n_bits, pdc.consts.ctx_p.num_limbs, bt.DECRYPT_WINDOW
         ),
-        flush=True,
-    )
+        "add": profiling.mont_mul_cost(dc.L),
+        # mul: 64-bit scalar exponents on the per-element RNS ladder.
+        "mul": profiling.rns_vec_modexp_cost(64, k_pub, bt.DEFAULT_WINDOW)
+        if k_pub else profiling.modexp_cost(64, dc.L),
+    }
 
 
 def parity_gates(pub, priv):
@@ -123,6 +154,7 @@ def main():
 
     pub, priv = _fixed_key(2048)
     parity_gates(pub, priv)
+    costs = op_costs(pub, priv)
 
     rng = np.random.default_rng(12345)
 
@@ -148,7 +180,7 @@ def main():
     B = SIZES["encrypt"]
     vals = [float(v) for v in rng.uniform(-1e6, 1e6, B)]
     emit("encrypt", B / timeit(
-        lambda: sync(EncryptedBatch.encrypt(pub, vals))))
+        lambda: sync(EncryptedBatch.encrypt(pub, vals))), costs["encrypt"])
 
     # -- decrypt (CRT, full device pipeline, compact host decode) --------
     B = SIZES["decrypt"]
@@ -157,7 +189,7 @@ def main():
     sync(ct)
     out = ct.decrypt(priv)  # warm + parity: decrypt returns what went in
     assert out == vals, "device decrypt parity failure at scale"
-    emit("decrypt", B / timeit(lambda: ct.decrypt(priv)))
+    emit("decrypt", B / timeit(lambda: ct.decrypt(priv)), costs["decrypt"])
 
     # -- add enc+enc (aligned exponents: one Montgomery multiply) --------
     B = SIZES["add"]
@@ -166,7 +198,7 @@ def main():
     ct2 = EncryptedBatch.encrypt(pub, vals)
     sync(ct)
     sync(ct2)
-    emit("add", B / timeit(lambda: sync(ct + ct2)))
+    emit("add", B / timeit(lambda: sync(ct + ct2)), costs["add"])
 
     # -- mul enc x float scalar (short-exponent modexp, inverse trick) ---
     B = SIZES["mul"]
@@ -174,7 +206,8 @@ def main():
     ct = EncryptedBatch.encrypt(pub, vals)
     sync(ct)
     scalars = [float(v) for v in rng.uniform(-100.0, 100.0, B)]
-    emit("mul", B / timeit(lambda: sync(ct.mul_scalars(scalars))))
+    emit("mul", B / timeit(lambda: sync(ct.mul_scalars(scalars))),
+         costs["mul"])
 
 
 if __name__ == "__main__":

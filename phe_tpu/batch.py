@@ -188,18 +188,37 @@ def _fit_limbs(wide, L):
     return wide[..., :L]
 
 
-def _rns_pow_to_mont(base_limbs, digits, rsys, conv, ctx,
-                     window=DEFAULT_WINDOW):
+class RnsPubState(NamedTuple):
+    """RNS engine handle for one public modulus (pytree of arrays).
+
+    entry_mont: stored residues of M_A^2 * R^-1 mod N — the domain-entry
+      constant that divides the limb engine's Montgomery factor R out of
+      a ciphertext operand for free (rns.pow_shared_xla entry_res).
+    exit_r: stored residues of R mod N — the exit constant that lands
+      ladder outputs directly back in the limb Montgomery domain.
+    red: mg.ExcessReducer absorbing the ladder's +jN offset (j <= k)
+      without a REDC.
+    """
+
+    rsys: rns.RNSSystem
+    conv: rns.RNSConversion
+    entry_mont: jnp.ndarray
+    exit_r: jnp.ndarray
+    red: mg.ExcessReducer
+
+
+def _rns_pow_to_mont(base_limbs, digits, st, ctx, window=DEFAULT_WINDOW):
     """RNS-engine modexp landing in the limb engine's Montgomery domain.
 
-    base_limbs: [B, Lin] (value < 2kN); returns [B, L] Montgomery-domain
-    limbs of base^e mod M. The RNS ladder yields canonical limbs of a
-    value <= kN + 1 (rns.pow_shared_xla); truncation to L limbs is exact
-    (kN << 2^(14 L - 16) by the context's headroom) and to_mont absorbs
-    the +jN offset (REDC of x * (R^2 mod M) with x < 2^9 M stays < 1.01 M).
+    base_limbs: [B, Lin] PLAIN values (< 2kN). The ladder exits through
+    the constant R mod N (st.exit_r), so the output is base^e * R — the
+    Montgomery form — bounded by kN + 1; reduce_excess absorbs the +jN
+    offset in O(L) work (previously a full to_mont REDC) and the result
+    is canonical < N.
     """
-    wide = rns.pow_shared(base_limbs, digits, conv, rsys, window=window)
-    return mg.to_mont(_fit_limbs(wide, ctx.num_limbs), ctx)
+    wide = rns.pow_shared(base_limbs, digits, st.conv, st.rsys,
+                          window=window, exit_res=st.exit_r)
+    return _fit_limbs(mg.reduce_excess(wide, st.red), ctx.num_limbs)
 
 
 def _pow_elems(mont, digits, ctx, rstate):
@@ -208,42 +227,41 @@ def _pow_elems(mont, digits, ctx, rstate):
     The engine-dispatch point for every data-dependent-exponent path
     (scalar multiply, exponent alignment, matvec grids — the reference's
     _raw_mul / decrease_exponent_to, phe/paillier.py:721-751, :570-601).
-    rstate None runs the limb engine (mg.mont_pow); (rsys, conv) runs the
-    Cox-Rower RNS ladder: leave the Montgomery domain (one Pallas REDC),
-    exponentiate the plain value c (< 1.01 M, redundant limbs — inside
-    the RNS entry bound), re-enter via to_mont. Values match mg.mont_pow
-    mod M exactly; representatives may differ by a multiple of M, which
-    every consumer absorbs (chains stay < 2.01 M, exports canonicalise).
+    rstate None runs the limb engine (mg.mont_pow); an RnsPubState runs
+    the Cox-Rower RNS ladder with the Montgomery factor R handled by
+    constant folds: entry through M_A^2 * R^-1 strips the operand's R
+    ((c R) * R^-1 = c, once, before exponentiation), exit through R puts
+    it back — zero limb REDCs on the whole path (round-3 profile: the
+    from_mont/to_mont pair cost ~48 ms per 8192-element batch, 3x the
+    ladder itself). reduce_excess absorbs the ladder's +jN offset, so
+    outputs are canonical < M; chains and exports hold as before.
     """
     if rstate is None:
         return mg.mont_pow(mont, digits, ctx)
-    rsys, conv = rstate
     lead = mont.shape[:-1]
-    plain = mg.from_mont(mont.reshape((-1, mont.shape[-1])), ctx)
-    wide = rns.pow_vec(plain, digits.reshape((-1, digits.shape[-1])),
-                       conv, rsys)
-    out = mg.to_mont(_fit_limbs(wide, ctx.num_limbs), ctx)
+    m2 = mont.reshape((-1, mont.shape[-1]))
+    wide = rns.pow_vec(m2, digits.reshape((-1, digits.shape[-1])),
+                       rstate.conv, rstate.rsys,
+                       entry_res=rstate.entry_mont, exit_res=rstate.exit_r)
+    out = _fit_limbs(mg.reduce_excess(wide, rstate.red), ctx.num_limbs)
     return out.reshape(lead + (ctx.num_limbs,))
 
 
 @functools.partial(jax.jit, static_argnames=("ln",))
-def _encrypt_rns_dev(m_bytes, r_bytes, n_limbs, nr2, n_digits, ctx, rsys,
-                     conv, ln):
+def _encrypt_rns_dev(m_bytes, r_bytes, n_limbs, nr2, n_digits, ctx, st, ln):
     """Fresh encryption with the obfuscator modexp on the RNS engine."""
     m = lm.unpack_bytes(m_bytes, ln)
     r = lm.unpack_bytes(r_bytes, ctx.num_limbs)
     nude = _nude_raw(m, n_limbs, nr2, ctx)
-    obf = _rns_pow_to_mont(r, n_digits, rsys, conv, ctx,
-                           window=ENCRYPT_WINDOW)
+    obf = _rns_pow_to_mont(r, n_digits, st, ctx, window=ENCRYPT_WINDOW)
     return mg.mont_mul(nude, obf, ctx)
 
 
 @jax.jit
-def _obfuscate_rns_dev(mont, r_bytes, n_digits, ctx, rsys, conv):
+def _obfuscate_rns_dev(mont, r_bytes, n_digits, ctx, st):
     """Re-obfuscation with the r^n modexp on the RNS engine."""
     r = lm.unpack_bytes(r_bytes, ctx.num_limbs)
-    obf = _rns_pow_to_mont(r, n_digits, rsys, conv, ctx,
-                           window=ENCRYPT_WINDOW)
+    obf = _rns_pow_to_mont(r, n_digits, st, ctx, window=ENCRYPT_WINDOW)
     return mg.mont_mul(mont, obf, ctx)
 
 
@@ -565,13 +583,15 @@ def _decrypt_residue_rns(ct_mont, pub_ctx, pk, half_p, half_q):
     BEFORE conversion to residues: the ladder input x*R is < 1.01 p^2, so
     the RNS system needs no entry-bound channels (k = 152 instead of 160
     at 2048-bit keys), and the extra R factor exits for free through the
-    ladder's exit constant E = R^(2-p): (xR)^(p-1) * R^(2-p) = x^(p-1) * R
-    — the output is already Montgomery-domain, saving the to_mont too.
-    half_*: (RNSSystem, RNSConversion, exit_res) per prime square.
+    ladder's exit constant E = R^(1-p): (xR)^(p-1) * R^(1-p) = x^(p-1)
+    — the output is already the plain value the L-function needs; no
+    from_mont, no to_mont, one reduce_excess.
+    half_*: (RNSSystem, RNSConversion, exit_res, ExcessReducer) per
+    prime square.
     """
     plain = mg.from_mont(ct_mont, pub_ctx)
     halves = []
-    for ctx2, red, ddig, (rsys, conv, ers), ctxh, pinv_hensel, h_limbs in (
+    for ctx2, red, ddig, (rsys, conv, ers, red2), ctxh, pinv_hensel, h_limbs in (
         (pk.ctx_p, pk.red_p, pk.dp_digits, half_p, pk.ctx_hp,
          pk.pinv2_p, pk.hp_limbs),
         (pk.ctx_q, pk.red_q, pk.dq_digits, half_q, pk.ctx_hq,
@@ -591,8 +611,10 @@ def _decrypt_residue_rns(ct_mont, pub_ctx, pk, half_p, half_q):
         wide = rns.pow_shared(
             xm, ddig, conv, rsys, window=DECRYPT_WINDOW, exit_res=ers
         )
-        powed = _fit_limbs(wide, ctx2.num_limbs)  # Montgomery domain
-        xc = mg.export_canonical(mg.from_mont(powed, ctx2), ctx2)
+        # Ladder output is the PLAIN x^(p-1) + j p^2 (exit E = R^(1-p));
+        # reduce_excess lands canonical < p^2 in O(L) — the round-3 path
+        # paid a from_mont REDC plus an export pass here.
+        xc = _fit_limbs(mg.reduce_excess(wide, red2), L2)
         halves.append(_lfunction_half(xc, ctxh, pinv_hensel, h_limbs))
     return _crt_recombine(halves[0], halves[1], pk)
 
@@ -651,8 +673,23 @@ class PublicDeviceContext:
         """
         if self._rns is None:
             try:
-                rsys = rns.build_rns(self.public_key.nsquare)
-                self._rns = (rsys, rns.build_conversion(rsys, self.L))
+                nsq = self.public_key.nsquare
+                rsys = rns.build_rns(nsq)
+                conv = rns.build_conversion(rsys, self.L)
+                R = 1 << (lm.LIMB_BITS * self.L)
+                m_np = np.asarray(rsys.m)
+                M_A = 1
+                for a in m_np[: rsys.k].tolist():
+                    M_A *= int(a)
+                self._rns = RnsPubState(
+                    rsys=rsys,
+                    conv=conv,
+                    entry_mont=rns.residues(
+                        M_A * M_A % nsq * pow(R, -1, nsq) % nsq, rsys
+                    ),
+                    exit_r=rns.residues(R % nsq, rsys),
+                    red=mg.build_excess_reducer(nsq, rsys.out_limbs),
+                )
             except ValueError:
                 self._rns = (None, None)
         return self._rns if self._rns != (None, None) else None
@@ -735,10 +772,9 @@ class PublicDeviceContext:
         r = self.random_r_bytes(len(encodings), r_values)
         st = self.rns_state() if _use_rns() else None
         if st is not None:
-            rsys, conv = st
             return _encrypt_rns_dev(
                 m, r, self.n_limbs, self.nr2_limbs, self.n_digits, self.ctx,
-                rsys, conv, ln=self.Ln,
+                st, ln=self.Ln,
             )
         return _encrypt_dev(
             m, r, self.n_limbs, self.nr2_limbs, self.n_digits, self.ctx,
@@ -750,10 +786,7 @@ class PublicDeviceContext:
         r = self.random_r_bytes(mont.shape[0])
         st = self.rns_state() if _use_rns() else None
         if st is not None:
-            rsys, conv = st
-            return _obfuscate_rns_dev(
-                mont, r, self.n_digits, self.ctx, rsys, conv
-            )
+            return _obfuscate_rns_dev(mont, r, self.n_digits, self.ctx, st)
         return _obfuscate_dev(mont, r, self.n_digits, self.ctx)
 
     def obfuscate_mont_short(self, mont, exponent_bits=320):
@@ -787,7 +820,7 @@ class PublicDeviceContext:
         return _mul_mont_dev(a, b, self.ctx)
 
     def rstate(self):
-        """(rsys, conv) when the RNS engine is selected, else None.
+        """RnsPubState when the RNS engine is selected, else None.
 
         The per-element-exponent engine dispatch handle passed into the
         fused device programs (see _pow_elems).
@@ -892,10 +925,11 @@ class PrivateDeviceContext:
     def rns_state(self):
         """Per-prime-square RNS halves for the CRT decrypt modexps.
 
-        Each half is (RNSSystem, RNSConversion, exit_res): the ladder
-        enters with Montgomery-domain values x*R < 1.01 p^2 (no entry
-        bound, so k is minimal) and exits through E = R^(2-p) mod p^2,
-        landing at x^(p-1) * R directly (see _decrypt_residue_rns).
+        Each half is (RNSSystem, RNSConversion, exit_res, ExcessReducer):
+        the ladder enters with Montgomery-domain values x*R < 1.01 p^2
+        (no entry bound, so k is minimal) and exits through
+        E = R^(1-p) mod p^2, landing at the plain x^(p-1) directly
+        (see _decrypt_residue_rns).
         """
         if self._rns is None:
             priv = self.private_key
@@ -908,12 +942,11 @@ class PrivateDeviceContext:
                     rsys = rns.build_rns(nsq)
                     conv = rns.build_conversion(rsys, ctx2.num_limbs)
                     R = 1 << (lm.LIMB_BITS * ctx2.num_limbs)
-                    E = pow(pow(R, -1, nsq), pp - 2, nsq)
-                    m_np = np.asarray(rsys.m)
-                    exit_res = jnp.asarray(
-                        np.array([E % int(mc) for mc in m_np], dtype=np.uint32)
-                    )
-                    state.append((rsys, conv, exit_res))
+                    E = pow(pow(R, -1, nsq), pp - 1, nsq)
+                    state.append((
+                        rsys, conv, rns.residues(E, rsys),
+                        mg.build_excess_reducer(nsq, rsys.out_limbs),
+                    ))
                 self._rns = tuple(state)
             except ValueError:
                 # Prime-square modulus exceeds the RNS channel supply

@@ -211,13 +211,17 @@ def main(argv=None):
                     help="also run the memory-per-ciphertext benchmark")
     args = ap.parse_args(argv)
 
+    key_sizes = [int(s) for s in args.key_sizes.split(",")]
     all_results = {}
-    for ks in [int(s) for s in args.key_sizes.split(",")]:
+    for ks in key_sizes:
         all_results[ks] = bench_key_size(ks, args.batch, args.runs)
     if args.scaling:
-        bench_scaling()
+        # Round-3 verdict fix: honour the CLI geometry instead of the
+        # hardcoded defaults.
+        bench_scaling(keysize=key_sizes[0], batch=args.batch,
+                      runs=args.runs)
     if args.mem:
-        bench_mem()
+        bench_mem(keysize=key_sizes[-1])
 
     print("\n== summary (ops/s, vs single-core CPython baseline) ==",
           file=sys.stderr)

@@ -25,22 +25,22 @@ def log(m, color="red"):
 
 @click.group("pheutil")
 @click.version_option(__version__, prog_name="pheutil")
-@click.option("--verbose", "-v", is_flag=True, help="Enables verbose mode.")
+@click.option("--verbose", "-v", is_flag=True, help="Chattier stderr logging.")
 def cli(verbose=False):
-    """CLI for interacting with phe_tpu (python-paillier compatible)."""
+    """Paillier key/ciphertext tool (wire-compatible with pheutil)."""
 
 
 @cli.command("genpkey")
 @click.argument("output", type=click.File("w"))
 @click.option("--keysize", type=int, default=2048,
-              help="The keysize in bits. Defaults to 2048")
+              help="Modulus size in bits (default 2048).")
 @click.option("--id", type=str, default=None,
-              help="Add an identifying comment to the key")
+              help="Free-form comment stored alongside the key.")
 def generate_keypair(keysize, id, output):
-    """Generate a paillier private key, output as JWK ("-" for stdout)."""
-    log("Generating a paillier keypair with keysize of {}".format(keysize))
+    """Generate a Paillier private key as JWK JSON ("-" for stdout)."""
+    log("Generating a {}-bit Paillier keypair...".format(keysize))
     pub, priv = phe_tpu.generate_paillier_keypair(n_length=keysize)
-    log("Keys generated")
+    log("Keypair ready")
     json.dump(serial.private_key_to_jwk(priv), output)
     output.write("\n")
     log("Private key written to {}".format(output.name))
@@ -50,12 +50,12 @@ def generate_keypair(keysize, id, output):
 @click.argument("input", type=click.File("r"))
 @click.argument("output", type=click.File("w"))
 def extract(input, output):
-    """Extract the public key portion of a private key file."""
-    log("Loading paillier keypair")
+    """Write just the public half of a private key file."""
+    log("Reading private key file")
     priv = json.load(input)
-    error_msg = "Invalid private key"
-    assert "pub" in priv, error_msg
-    assert priv["kty"] == "DAJ", error_msg
+    bad = "not a pheutil private key (missing pub/kty fields)"
+    assert "pub" in priv, bad
+    assert priv["kty"] == "DAJ", bad
     json.dump(priv["pub"], output)
     output.write("\n")
     log("Public key written to {}".format(output.name))
@@ -65,16 +65,16 @@ def extract(input, output):
 @click.argument("public", type=click.File("r"))
 @click.argument("plaintext", type=str)
 @click.option("--output", type=click.File("w"),
-              help="Save to file instead of stdout")
+              help="Destination file (stdout if omitted).")
 def encrypt(public, plaintext, output=None):
-    """Encrypt a number (interpreted as a float) with a public key.
+    """Encrypt one number (parsed as float) under a public key.
 
-    Negative numbers need a "--" separator before them.
+    Prefix negative values with a "--" separator.
     """
     num = float(plaintext)
-    log("Loading public key")
+    log("Reading public key")
     pub = serial.public_key_from_jwk(json.load(public))
-    log("Encrypting: {:+.16f}".format(num))
+    log("Encrypting {:+.16f}".format(num))
     enc = pub.encrypt(num)
     print(json.dumps(serial.dump_encrypted_number(enc)), file=output)
 
@@ -83,12 +83,12 @@ def encrypt(public, plaintext, output=None):
 @click.argument("private", type=click.File("r"))
 @click.argument("ciphertext", type=click.File("r"))
 @click.option("--output", type=click.File("w"),
-              help="Save to file instead of stdout")
+              help="Destination file (stdout if omitted).")
 def decrypt(private, ciphertext, output):
-    """Decrypt a ciphertext file with a private key file."""
-    log("Loading private key")
+    """Recover the plaintext of a ciphertext file using a private key."""
+    log("Reading private key")
     priv = serial.private_key_from_jwk(json.load(private))
-    log("Decrypting ciphertext")
+    log("Decrypting")
     enc = serial.load_encrypted_number(
         json.load(ciphertext), priv.public_key
     )
@@ -100,14 +100,14 @@ def decrypt(private, ciphertext, output):
 @click.argument("encrypted_a", type=click.File("r"))
 @click.argument("encrypted_b", type=click.File("r"))
 @click.option("--output", type=click.File("w"),
-              help="Save to file instead of stdout")
+              help="Destination file (stdout if omitted).")
 def add_encrypted(public, encrypted_a, encrypted_b, output):
-    """Add two encrypted numbers together."""
-    log("Loading public key")
+    """Homomorphic sum of two ciphertext files."""
+    log("Reading public key")
     pub = serial.public_key_from_jwk(json.load(public))
     enc_a = serial.load_encrypted_number(json.load(encrypted_a), pub)
     enc_b = serial.load_encrypted_number(json.load(encrypted_b), pub)
-    log("Adding encrypted numbers together")
+    log("Combining the two ciphertexts")
     print(json.dumps(serial.dump_encrypted_number(enc_a + enc_b)), file=output)
 
 
@@ -116,14 +116,14 @@ def add_encrypted(public, encrypted_a, encrypted_b, output):
 @click.argument("encrypted", type=click.File("r"))
 @click.argument("plaintext", type=str)
 @click.option("--output", type=click.File("w"),
-              help="Save to file instead of stdout")
+              help="Destination file (stdout if omitted).")
 def add_plain(public, encrypted, plaintext, output):
-    """Add a plaintext number to an encrypted number."""
-    log("Loading public key")
+    """Homomorphically add a plaintext number into a ciphertext."""
+    log("Reading public key")
     pub = serial.public_key_from_jwk(json.load(public))
     enc = serial.load_encrypted_number(json.load(encrypted), pub)
     num = float(plaintext)
-    log("Adding")
+    log("Adding {}".format(num))
     print(json.dumps(serial.dump_encrypted_number(enc + num)), file=output)
 
 
@@ -132,14 +132,14 @@ def add_plain(public, encrypted, plaintext, output):
 @click.argument("encrypted", type=click.File("r"))
 @click.argument("plaintext", type=str)
 @click.option("--output", type=click.File("w"),
-              help="Save to file instead of stdout")
+              help="Destination file (stdout if omitted).")
 def multiply_plain(public, encrypted, plaintext, output):
-    """Multiply an encrypted number by a plaintext number."""
-    log("Loading public key")
+    """Homomorphically scale a ciphertext by a plaintext number."""
+    log("Reading public key")
     pub = serial.public_key_from_jwk(json.load(public))
     enc = serial.load_encrypted_number(json.load(encrypted), pub)
     num = float(plaintext)
-    log("Multiplying")
+    log("Scaling by {}".format(num))
     print(json.dumps(serial.dump_encrypted_number(enc * num)), file=output)
 
 
@@ -150,7 +150,7 @@ def multiply_plain(public, encrypted, plaintext, output):
 @click.argument("public", type=click.File("r"))
 @click.argument("values", type=click.File("r"))
 @click.option("--output", type=click.File("w"),
-              help="Save to file instead of stdout")
+              help="Destination file (stdout if omitted).")
 def encrypt_vector(public, values, output):
     """Encrypt a JSON array of numbers as one device batch."""
     from phe_tpu.batch import EncryptedBatch
@@ -166,7 +166,7 @@ def encrypt_vector(public, values, output):
 @click.argument("private", type=click.File("r"))
 @click.argument("ciphertexts", type=click.File("r"))
 @click.option("--output", type=click.File("w"),
-              help="Save to file instead of stdout")
+              help="Destination file (stdout if omitted).")
 def decrypt_vector(private, ciphertexts, output):
     """Decrypt a serialised encrypted vector as one device batch."""
     priv = serial.private_key_from_jwk(json.load(private))
@@ -182,7 +182,7 @@ def decrypt_vector(private, ciphertexts, output):
 @click.argument("ciphertexts", type=click.File("r"))
 @click.argument("plainvec", type=click.File("r"))
 @click.option("--output", type=click.File("w"),
-              help="Save to file instead of stdout")
+              help="Destination file (stdout if omitted).")
 def add_vector(public, ciphertexts, plainvec, output):
     """Elementwise add a JSON array of numbers to an encrypted vector."""
     pub = serial.public_key_from_jwk(json.load(public))
@@ -197,7 +197,7 @@ def add_vector(public, ciphertexts, plainvec, output):
 @click.argument("encrypted_a", type=click.File("r"))
 @click.argument("encrypted_b", type=click.File("r"))
 @click.option("--output", type=click.File("w"),
-              help="Save to file instead of stdout")
+              help="Destination file (stdout if omitted).")
 def add_encrypted_vector(public, encrypted_a, encrypted_b, output):
     """Elementwise add two serialised encrypted vectors."""
     pub = serial.public_key_from_jwk(json.load(public))
@@ -212,7 +212,7 @@ def add_encrypted_vector(public, encrypted_a, encrypted_b, output):
 @click.argument("ciphertexts", type=click.File("r"))
 @click.argument("plainvec", type=click.File("r"))
 @click.option("--output", type=click.File("w"),
-              help="Save to file instead of stdout")
+              help="Destination file (stdout if omitted).")
 def multiply_vector(public, ciphertexts, plainvec, output):
     """Elementwise multiply an encrypted vector by a JSON array of numbers."""
     pub = serial.public_key_from_jwk(json.load(public))
@@ -226,7 +226,7 @@ def multiply_vector(public, ciphertexts, plainvec, output):
 @click.argument("public", type=click.File("r"))
 @click.argument("ciphertexts", type=click.File("r"))
 @click.option("--output", type=click.File("w"),
-              help="Save to file instead of stdout")
+              help="Destination file (stdout if omitted).")
 def sum_vector(public, ciphertexts, output):
     """Homomorphically sum a serialised encrypted vector on device."""
     pub = serial.public_key_from_jwk(json.load(public))

@@ -281,6 +281,86 @@ def export_canonical(x, ctx):
     return lm.cond_sub(x, ctx.m_comp, ctx.num_limbs)
 
 
+class ExcessReducer(NamedTuple):
+    """Constants for reduce_excess: v <= k*M + 1 (k < 2^10) -> [0, M).
+
+    The RNS ladders return values bounded by k*N + 1 (rns.pow_shared);
+    re-entering the limb engine's < 1.01 M invariant previously cost a
+    full Montgomery REDC (to_mont / from_mont: O(L^2) VPU multiplies +
+    MXU matmuls — ~24 ms per 8192-element batch at the 2048-bit
+    geometry). This pass does it with ONE quotient estimate and three
+    O(L) normalisation sweeps instead.
+
+    Math (s = bits(M) - 4, static): a = floor(v / 2^s) < 2^14 and
+    mu = floor(2^18 * 2^s / M) in (2^14, 2^15], so a*mu < 2^29 fits
+    uint32 and j~ = (a * mu) >> 18 satisfies j - 2 <= j~ <= j = floor(v/M)
+    (error terms a/2^18 + mu/2^18 + 1 < 2.2). Subtracting j~*M via the
+    radix complement leaves v' in [0, 3M); a conditional subtract of 2M
+    then M lands canonical in [0, M).
+
+    Static shift geometry is encoded in pad-array SHAPES (pytree-safe,
+    like RNSSystem.k): i0 = limb_pad.shape[0], r = shift_pad.shape[0].
+    """
+
+    mu: jnp.ndarray  # [1] uint32: floor(2^18 * 2^s / M)
+    comp1: jnp.ndarray  # [W] canonical limbs of 2^(14 W) - M
+    comp2: jnp.ndarray  # [W] canonical limbs of 2^(14 W) - 2M
+    limb_pad: jnp.ndarray  # shape (i0,): s // 14, encoded as a shape
+    shift_pad: jnp.ndarray  # shape (r,): s % 14, encoded as a shape
+
+    @property
+    def i0(self):
+        return self.limb_pad.shape[0]
+
+    @property
+    def r(self):
+        return self.shift_pad.shape[0]
+
+    @property
+    def in_limbs(self):
+        return self.comp1.shape[0]
+
+
+def build_excess_reducer(modulus, in_limbs):
+    """Host-side constants for reduce_excess over in_limbs-wide inputs."""
+    M = int(modulus)
+    bits = M.bit_length()
+    s = bits - 4
+    W = in_limbs
+    R_w = 1 << (lm.LIMB_BITS * W)
+    if not 2 * M < R_w:
+        raise ValueError("input width too narrow for the 2M complement")
+    return ExcessReducer(
+        mu=jnp.asarray(np.array([(1 << 18 << s) // M], np.uint32)),
+        comp1=jnp.asarray(hl.int_to_limbs(R_w - M, W)),
+        comp2=jnp.asarray(hl.int_to_limbs(R_w - 2 * M, W)),
+        limb_pad=jnp.zeros((s // lm.LIMB_BITS,), jnp.uint8),
+        shift_pad=jnp.zeros((s % lm.LIMB_BITS,), jnp.uint8),
+    )
+
+
+def reduce_excess(v, red):
+    """Reduce canonical limbs [..., W], value <= 2^10 * M, to [0, M).
+
+    See ExcessReducer for the derivation. Output: canonical [..., W]
+    limbs (value < M; callers slice to the context width — exact, since
+    M < beta^L).
+    """
+    i0, r = red.i0, red.r
+    W = red.in_limbs
+    # a = floor(v / 2^s) < 2^14: spans limbs i0 (from bit r) and i0+1
+    # (v < 2^(s+14) so no higher limb contributes; bit r+13 <= 26).
+    a = v[..., i0] >> r
+    if i0 + 1 < W and r:
+        a = a + (v[..., i0 + 1] << (lm.LIMB_BITS - r))
+    jt = (a * red.mu[0]) >> 18  # floor(v/M) - 2 <= jt <= floor(v/M)
+    # v - jt*M via the radix complement: slot products < 2^24, one
+    # normalize ripples every carry and drops the jt * 2^(14 W) excess.
+    v1 = lm.normalize(v + jt[..., None] * red.comp1)  # < 3M, canonical
+    v2 = lm.cond_sub(v1, red.comp2, W)  # < 2M
+    return lm.cond_sub(v2, red.comp1, W)  # < M, canonical
+
+
 def _windowed_table(base, ctx, window):
     """Powers table [2**w, ..., L]: table[k] = base^k in Montgomery form."""
     one = jnp.broadcast_to(ctx.one, base.shape).astype(jnp.uint32)

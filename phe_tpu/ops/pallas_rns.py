@@ -65,10 +65,11 @@ def _ladder_kernel(
     m_ref,
     mu_ref,
     t14_ref,
-    csig_ref,
-    dmainv_ref,
-    enmainv_ref,
-    ctau_ref,
+    sig1_ref,
+    sig2_ref,
+    d1_ref,
+    d2_ref,
+    e1_ref,
     negmb_ref,
     onedom_ref,
     r2dom_ref,
@@ -88,10 +89,11 @@ def _ladder_kernel(
     m = m_ref[:, :]
     mu = mu_ref[:, :]
     t14 = t14_ref[:, :]
-    csig = csig_ref[:, :]
-    dmainv = dmainv_ref[:, :]
-    enmainv = enmainv_ref[:, :]
-    ctau = ctau_ref[:, :]
+    sig1 = sig1_ref[:, :]
+    sig2 = sig2_ref[:, :]
+    d1 = d1_ref[:, :]
+    d2 = d2_ref[:, :]
+    e1 = e1_ref[:, :]
     negmb = negmb_ref[:, :]
     mbinv = mbinv_ref[:, :]
     w1 = w1_ref[:, :]
@@ -117,21 +119,23 @@ def _ladder_kernel(
         return c0 + ((c1 & 0x7F) << 7) + e * tt14
 
     def montmul(x, y):
-        """rns.rns_mont_mul, channel-major. See rns.py for the bounds."""
-        t = _mod_cols(x * y, m, mu, steps=2)
-        sigma = _mod_cols(t[:k] * csig[:k], m[:k], mu[:k], steps=2)
+        """rns.rns_mont_mul (fused tau-domain staging), channel-major."""
+        raw = x * y  # < 2^28, consumed via the h/l split, never reduced
+        hh = raw >> 14
+        ll = raw & 0x3FFF
+        sigma = _mod_cols(
+            hh[:k] * sig2[:k] + ll[:k] * sig1[:k], m[:k], mu[:k]
+        )
         qhat = _mod_cols(
             combine_raw(dot(w1, _digits_cols(sigma)), m[k:], mu[k:], t14[k:]),
             m[k:],
             mu[k:],
         )
         u_br = _mod_cols(
-            t[k:] * dmainv[k:] + qhat * enmainv[k:], m[k:], mu[k:]
+            hh[k:] * d2[k:] + ll[k:] * d1[k:] + qhat * e1[k:], m[k:], mu[k:]
         )
-        tau = _mod_cols(
-            u_br[:k] * ctau[k : 2 * k], m[k : 2 * k], mu[k : 2 * k], steps=2
-        )
-        s_raw = combine_raw(dot(w2, _digits_cols(tau)), mi, mui, t14i)
+        # Stored B residues are tau: ext2 consumes them directly.
+        s_raw = combine_raw(dot(w2, _digits_cols(u_br[:k])), mi, mui, t14i)
         s_r = _mod_cols(s_raw[k : k + 1], m_r, mu_r)
         beta = _mod_cols(
             (s_r + (m_r - u_br[k : k + 1])) * mbinv, m_r, mu_r
@@ -172,13 +176,15 @@ def _ladder_kernel(
 
 @functools.partial(jax.jit, static_argnames=("window", "tb"))
 def ladder_cols(x_res, digits, sys_, window=_rns.DEFAULT_WINDOW, tb=LANES,
-                exit_res=None):
+                exit_res=None, entry_res=None):
     """Windowed RNS modexp over [cpad, B] residue columns, shared exponent.
 
     Returns [cpad, B] residues of x^e in plain (non-Montgomery) RNS form,
     value <= kN + 1. Padded lanes compute on residue columns of 0.
-    exit_res: optional [cpad] residues of the exit constant (see
-    rns.pow_shared_xla); default is the integer 1.
+    exit_res / entry_res: optional [cpad] stored residues of the exit /
+    domain-entry constants (see rns.pow_shared_xla); defaults are the
+    integer 1 and M_A^2 mod N. The kernel is unchanged — the constants
+    ride the existing exitc / r2dom input slots.
     """
     C, B = x_res.shape
     k = sys_.k
@@ -187,10 +193,11 @@ def ladder_cols(x_res, digits, sys_, window=_rns.DEFAULT_WINDOW, tb=LANES,
         x_res = jnp.pad(x_res, ((0, 0), (0, pad)))
     Bp = x_res.shape[1]
     col = lambda v: v[:, None]
+    # Integer 1's stored residues are the scale vector (tau domain).
     exit_col = (
-        jnp.ones((C, 1), jnp.uint32) if exit_res is None else exit_res[:, None]
+        col(sys_.scale) if exit_res is None else exit_res[:, None]
     )
-    vec_specs = [pl.BlockSpec((C, 1), lambda i, _: (0, 0))] * 11
+    vec_specs = [pl.BlockSpec((C, 1), lambda i, _: (0, 0))] * 12
     in_specs = [pl.BlockSpec((C, tb), lambda i, _: (0, i))] + vec_specs + [
         pl.BlockSpec((1, 1), lambda i, _: (0, 0)),
         pl.BlockSpec(sys_.w_ext1.shape, lambda i, _: (0, 0)),
@@ -201,13 +208,14 @@ def ladder_cols(x_res, digits, sys_, window=_rns.DEFAULT_WINDOW, tb=LANES,
         col(sys_.m),
         col(sys_.mu),
         col(sys_.t14),
-        col(sys_.c_sigma),
-        col(sys_.d_mainv),
-        col(sys_.e_nmainv),
-        col(sys_.c_tau),
+        col(sys_.sig1),
+        col(sys_.sig2),
+        col(sys_.d1),
+        col(sys_.d2),
+        col(sys_.e1),
         col(sys_.neg_mb),
         col(sys_.one_dom),
-        col(sys_.r2_dom),
+        col(sys_.r2_dom if entry_res is None else entry_res),
         exit_col,
         sys_.mbinv_r[:, None],
         sys_.w_ext1,
@@ -237,7 +245,7 @@ def ladder_cols(x_res, digits, sys_, window=_rns.DEFAULT_WINDOW, tb=LANES,
 
 
 def pow_shared_rows(x_limbs, digits, conv, sys_, window=_rns.DEFAULT_WINDOW,
-                    exit_res=None):
+                    exit_res=None, entry_res=None):
     """Row-major wrapper: binary limbs [B, Lin] -> binary limbs [B, out].
 
     XLA converts to residues, the Pallas kernel runs the ladder, XLA
@@ -245,7 +253,8 @@ def pow_shared_rows(x_limbs, digits, conv, sys_, window=_rns.DEFAULT_WINDOW,
     """
     x_res = _rns.to_rns(x_limbs, conv, sys_)
     u = ladder_cols(
-        x_res.T, digits, sys_, window=window, exit_res=exit_res
+        x_res.T, digits, sys_, window=window, exit_res=exit_res,
+        entry_res=entry_res,
     ).T
     return _rns.from_rns(u, sys_)
 
@@ -259,13 +268,15 @@ def _ladder_vec_kernel(
     m_ref,
     mu_ref,
     t14_ref,
-    csig_ref,
-    dmainv_ref,
-    enmainv_ref,
-    ctau_ref,
+    sig1_ref,
+    sig2_ref,
+    d1_ref,
+    d2_ref,
+    e1_ref,
     negmb_ref,
     onedom_ref,
     r2dom_ref,
+    exitc_ref,
     mbinv_ref,
     w1_ref,
     w2_ref,
@@ -288,10 +299,11 @@ def _ladder_vec_kernel(
     m = m_ref[:, :]
     mu = mu_ref[:, :]
     t14 = t14_ref[:, :]
-    csig = csig_ref[:, :]
-    dmainv = dmainv_ref[:, :]
-    enmainv = enmainv_ref[:, :]
-    ctau = ctau_ref[:, :]
+    sig1 = sig1_ref[:, :]
+    sig2 = sig2_ref[:, :]
+    d1 = d1_ref[:, :]
+    d2 = d2_ref[:, :]
+    e1 = e1_ref[:, :]
     negmb = negmb_ref[:, :]
     mbinv = mbinv_ref[:, :]
     w1 = w1_ref[:, :]
@@ -316,20 +328,21 @@ def _ladder_vec_kernel(
         return c0 + ((c1 & 0x7F) << 7) + e * tt14
 
     def montmul(x, y):
-        t = _mod_cols(x * y, m, mu, steps=2)
-        sigma = _mod_cols(t[:k] * csig[:k], m[:k], mu[:k], steps=2)
+        raw = x * y
+        hh = raw >> 14
+        ll = raw & 0x3FFF
+        sigma = _mod_cols(
+            hh[:k] * sig2[:k] + ll[:k] * sig1[:k], m[:k], mu[:k]
+        )
         qhat = _mod_cols(
             combine_raw(dot(w1, _digits_cols(sigma)), m[k:], mu[k:], t14[k:]),
             m[k:],
             mu[k:],
         )
         u_br = _mod_cols(
-            t[k:] * dmainv[k:] + qhat * enmainv[k:], m[k:], mu[k:]
+            hh[k:] * d2[k:] + ll[k:] * d1[k:] + qhat * e1[k:], m[k:], mu[k:]
         )
-        tau = _mod_cols(
-            u_br[:k] * ctau[k : 2 * k], m[k : 2 * k], mu[k : 2 * k], steps=2
-        )
-        s_raw = combine_raw(dot(w2, _digits_cols(tau)), mi, mui, t14i)
+        s_raw = combine_raw(dot(w2, _digits_cols(u_br[:k])), mi, mui, t14i)
         s_r = _mod_cols(s_raw[k : k + 1], m_r, mu_r)
         beta = _mod_cols(
             (s_r + (m_r - u_br[k : k + 1])) * mbinv, m_r, mu_r
@@ -361,18 +374,22 @@ def _ladder_vec_kernel(
         return 0
 
     jax.lax.fori_loop(0, n_windows * (window + 1), step, 0)
-    unit = jnp.broadcast_to((m - m + 1).astype(jnp.uint32), (C, TB))
+    # Exit constant ref (integer 1's stored residues = the scale vector);
+    # an input ref, not an inline constant — see _ladder_kernel's note.
+    unit = jnp.broadcast_to(exitc_ref[:, :], (C, TB)).astype(jnp.uint32)
     out_ref[:, :] = montmul(acc_ref[:, :], unit)
 
 
 @functools.partial(jax.jit, static_argnames=("window", "tb"))
 def ladder_vec_cols(x_res, digits_cols, sys_, window=_rns.DEFAULT_WINDOW,
-                    tb=LANES):
+                    tb=LANES, exit_res=None, entry_res=None):
     """Windowed RNS modexp over [cpad, B] columns, per-element exponents.
 
     digits_cols: int32[n_windows, B] MSB-first digit schedules, one column
     per element. Returns [cpad, B] plain-RNS residues of x^e, <= kN + 1.
     Padded lanes run the schedule of exponent 1 (a no-op power).
+    exit_res / entry_res: shared [cpad] stored residues of the exit /
+    domain-entry constants (rns.pow_shared_xla semantics).
     """
     C, B = x_res.shape
     k = sys_.k
@@ -386,7 +403,7 @@ def ladder_vec_cols(x_res, digits_cols, sys_, window=_rns.DEFAULT_WINDOW,
         )
     Bp = x_res.shape[1]
     col = lambda v: v[:, None]
-    vec_specs = [pl.BlockSpec((C, 1), lambda i: (0, 0))] * 10
+    vec_specs = [pl.BlockSpec((C, 1), lambda i: (0, 0))] * 12
     in_specs = (
         [pl.BlockSpec((digits_cols.shape[0], tb), lambda i: (0, i))]
         + [pl.BlockSpec((C, tb), lambda i: (0, i))]
@@ -403,13 +420,15 @@ def ladder_vec_cols(x_res, digits_cols, sys_, window=_rns.DEFAULT_WINDOW,
         col(sys_.m),
         col(sys_.mu),
         col(sys_.t14),
-        col(sys_.c_sigma),
-        col(sys_.d_mainv),
-        col(sys_.e_nmainv),
-        col(sys_.c_tau),
+        col(sys_.sig1),
+        col(sys_.sig2),
+        col(sys_.d1),
+        col(sys_.d2),
+        col(sys_.e1),
         col(sys_.neg_mb),
         col(sys_.one_dom),
-        col(sys_.r2_dom),
+        col(sys_.r2_dom if entry_res is None else entry_res),
+        col(sys_.scale if exit_res is None else exit_res),
         sys_.mbinv_r[:, None],
         sys_.w_ext1,
         sys_.w_ext2,
@@ -430,7 +449,8 @@ def ladder_vec_cols(x_res, digits_cols, sys_, window=_rns.DEFAULT_WINDOW,
     return out[:, :B]
 
 
-def pow_vec_rows(x_limbs, digits, conv, sys_, window=_rns.DEFAULT_WINDOW):
+def pow_vec_rows(x_limbs, digits, conv, sys_, window=_rns.DEFAULT_WINDOW,
+                 exit_res=None, entry_res=None):
     """Row-major per-element-exponent wrapper (rns.pow_vec's TPU target).
 
     x_limbs: [B, Lin] binary limbs (value < 2kN); digits: [B, n_windows]
@@ -438,5 +458,6 @@ def pow_vec_rows(x_limbs, digits, conv, sys_, window=_rns.DEFAULT_WINDOW):
     rns.pow_vec_xla (same integer representatives at every step).
     """
     x_res = _rns.to_rns(x_limbs, conv, sys_)
-    u = ladder_vec_cols(x_res.T, digits.T, sys_, window=window).T
+    u = ladder_vec_cols(x_res.T, digits.T, sys_, window=window,
+                        exit_res=exit_res, entry_res=entry_res).T
     return _rns.from_rns(u, sys_)

@@ -57,6 +57,31 @@ M_A >= 4kN and M_B >= 4kN; chain invariant x, y <= 2kN.
    u_i = (S_i + beta * ((-M_B) mod a_i)) mod a_i     (base A)
 Result: u = x*y*M_A^-1 (mod N), u <= 2kN, known in every channel.
 
+Fused tau-domain formulation (what the code actually computes)
+==============================================================
+The VPU issues ~0.65-1.1 T elementwise u32 ops/s per v5e chip
+(scripts/vpu_microbench.py) — the binding resource. Two fusions remove
+~25% of the per-product VPU work while computing the *same integers*:
+
+* **Tau-domain storage.** Base-B residues are stored pre-multiplied by
+  c_tau_j = (M_B/b_j)^-1 mod b_j (A and r rows stay plain). Step 5 then
+  costs nothing — the stored B residue *is* tau — and the REDC
+  constants of step 4 absorb the scale: with raw~ = x~ * y~ = t * c^2,
+  u~_j = u_j c_j = raw~ * (M_A^-1 c_j^-1) + q^_j * (N M_A^-1 c_j) mod m_j.
+  The conversion matrix, domain constants (one_dom, r2_dom), and exit
+  constants carry the same per-channel scale (`RNSSystem.scale`), so
+  every interface value is unchanged.
+* **No t canonicalisation.** The raw 28-bit channel product is consumed
+  directly by splitting it as h*2^14 + l (shift/mask, no reduction):
+  sigma_i = (h * (2^14 c_i mod a_i) + l * c_i) mod a_i, and the fused
+  u~ above becomes (h * d2 + l * d1 + q^ * e1) mod m_j with
+  d2 = 2^14 d1 mod m_j — three 28-bit products summed below 2^30, one
+  steps=3 Barrett, versus reduce-then-multiply-then-reduce.
+
+Per Montgomery product this is ~22k VPU multiplies + 6 Barrett
+reductions per channel pair, versus ~29k and 9 for the textbook
+staging; sigma, q^, u, beta and the final output are bit-identical.
+
 Exponentiation enters the Montgomery domain by one product against the
 residues of (M_A^2 mod N), runs the standard MSB-first windowed ladder
 (same digit schedules as phe_tpu.ops.montgomery), and leaves by one
@@ -135,13 +160,16 @@ class RNSSystem(NamedTuple):
     m: jnp.ndarray  # channel moduli
     mu: jnp.ndarray  # floor(2^28 / m)
     t14: jnp.ndarray  # 2^14 mod m
-    c_sigma: jnp.ndarray  # A rows: -N^-1 (M_A/a_i)^-1 mod a_i; 0 elsewhere
-    d_mainv: jnp.ndarray  # B u r rows: M_A^-1 mod m_j; 0 elsewhere
-    e_nmainv: jnp.ndarray  # B u r rows: N M_A^-1 mod m_j; 0 elsewhere
-    c_tau: jnp.ndarray  # B rows: (M_B/b_j)^-1 mod b_j; 0 elsewhere
+    sig1: jnp.ndarray  # A rows: c_sigma = -N^-1 (M_A/a_i)^-1 mod a_i; 0 else
+    sig2: jnp.ndarray  # A rows: 2^14 c_sigma mod a_i; 0 elsewhere
+    d1: jnp.ndarray  # B u r rows: M_A^-1 scale^-1 mod m_j; 0 elsewhere
+    d2: jnp.ndarray  # B u r rows: 2^14 d1 mod m_j; 0 elsewhere
+    e1: jnp.ndarray  # B u r rows: N M_A^-1 scale mod m_j; 0 elsewhere
+    scale: jnp.ndarray  # tau-domain scale: c_tau on B rows, 1 on A u r.
+    #   Also the stored representation of the integer 1's residues.
     neg_mb: jnp.ndarray  # A rows: (-M_B) mod a_i; 0 elsewhere
-    one_dom: jnp.ndarray  # residues of M_A mod N (Montgomery-domain 1)
-    r2_dom: jnp.ndarray  # residues of M_A^2 mod N (domain entry factor)
+    one_dom: jnp.ndarray  # stored residues of M_A mod N (Mont-domain 1)
+    r2_dom: jnp.ndarray  # stored residues of M_A^2 mod N (entry factor)
     w_r: jnp.ndarray  # B rows: (M_B/b_j) mod m_r (from_rns beta row)
 
     # scalars packed as [1] uint32
@@ -245,21 +273,30 @@ def build_rns(modulus, max_entry_bits=None):
     marr = np.array(chans, dtype=np.uint32)
 
     ninv = pow(N, -1, M_A)
-    c_sigma = np.zeros(cpad, np.uint32)
+    sig1 = np.zeros(cpad, np.uint32)
+    sig2 = np.zeros(cpad, np.uint32)
     for i, a in enumerate(A):
-        c_sigma[i] = (-ninv * pow(M_A // a, -1, a)) % a
+        cs = (-ninv * pow(M_A // a, -1, a)) % a
+        sig1[i] = cs
+        sig2[i] = (cs << 14) % a
 
-    d_mainv = np.zeros(cpad, np.uint32)
-    e_nmainv = np.zeros(cpad, np.uint32)
+    # Tau-domain scale: c_tau on B rows, 1 elsewhere (incl. r + pads).
+    scale = np.ones(cpad, np.uint32)
+    for j, b in enumerate(B):
+        scale[k + j] = pow(M_B // b, -1, b)
+
+    d1 = np.zeros(cpad, np.uint32)
+    d2 = np.zeros(cpad, np.uint32)
+    e1 = np.zeros(cpad, np.uint32)
     for j in range(k, cpad):
         mj = chans[j]
         inv = pow(M_A % mj, -1, mj)
-        d_mainv[j] = inv
-        e_nmainv[j] = (N % mj) * inv % mj
-
-    c_tau = np.zeros(cpad, np.uint32)
-    for j, b in enumerate(B):
-        c_tau[k + j] = pow(M_B // b, -1, b)
+        s = int(scale[j])
+        # raw~ = t scale^2, so the REDC product constant divides one
+        # scale back out; the q^ term multiplies the (unscaled) q^ in.
+        d1[j] = inv * pow(s, -1, mj) % mj
+        d2[j] = (d1[j] << 14) % mj
+        e1[j] = (N % mj) * inv % mj * s % mj
 
     neg_mb = np.zeros(cpad, np.uint32)
     for i, a in enumerate(A):
@@ -269,10 +306,17 @@ def build_rns(modulus, max_entry_bits=None):
     # residues of M_A itself would represent a value >> 2kN and silently
     # break the chain bound (ext2's beta goes negative once values crest
     # k*M_B — caught by the 2048-bit ladder, invisible at toy sizes).
+    # Stored (tau-domain) form: per-channel residue times scale.
     one_int = M_A % N
-    one_dom = np.array([one_int % m for m in chans], dtype=np.uint32)
+    one_dom = np.array(
+        [one_int % m * int(s) % m for m, s in zip(chans, scale)],
+        dtype=np.uint32,
+    )
     r2int = M_A * M_A % N
-    r2_dom = np.array([r2int % m for m in chans], dtype=np.uint32)
+    r2_dom = np.array(
+        [r2int % m * int(s) % m for m, s in zip(chans, scale)],
+        dtype=np.uint32,
+    )
 
     # Extension matrices. W1 rows: output channels B u r u pads (k+8),
     # inputs sigma over A. W2 rows: A u r u pads, inputs tau over B.
@@ -304,10 +348,12 @@ def build_rns(modulus, max_entry_bits=None):
         m=jnp.asarray(marr),
         mu=jnp.asarray(mu64.astype(np.uint32)),
         t14=jnp.asarray(((1 << 14) % marr.astype(np.uint64)).astype(np.uint32)),
-        c_sigma=jnp.asarray(c_sigma),
-        d_mainv=jnp.asarray(d_mainv),
-        e_nmainv=jnp.asarray(e_nmainv),
-        c_tau=jnp.asarray(c_tau),
+        sig1=jnp.asarray(sig1),
+        sig2=jnp.asarray(sig2),
+        d1=jnp.asarray(d1),
+        d2=jnp.asarray(d2),
+        e1=jnp.asarray(e1),
+        scale=jnp.asarray(scale),
         neg_mb=jnp.asarray(neg_mb),
         one_dom=jnp.asarray(one_dom),
         r2_dom=jnp.asarray(r2_dom),
@@ -340,12 +386,19 @@ class RNSConversion(NamedTuple):
 
 
 def build_conversion(system, in_limbs):
-    """Conversion constants: binary limbs (redundant OK) -> all channels."""
+    """Conversion constants: binary limbs (redundant OK) -> all channels.
+
+    Rows carry the system's tau-domain scale, so to_rns lands directly in
+    the stored representation.
+    """
     m_np = np.asarray(system.m)
+    s_np = np.asarray(system.scale)
     w = np.zeros((system.cpad, in_limbs), np.uint32)
     for c in range(system.cpad):
-        mc = int(m_np[c])
-        w[c] = [pow(1 << lm.LIMB_BITS, j, mc) for j in range(in_limbs)]
+        mc, sc = int(m_np[c]), int(s_np[c])
+        w[c] = [
+            pow(1 << lm.LIMB_BITS, j, mc) * sc % mc for j in range(in_limbs)
+        ]
     blocks = _digit_blocks(w)
     wn = np.asarray(blocks)
     # High-digit input columns are the last in_limbs; biasing them by -64
@@ -377,13 +430,6 @@ def _mod(x, m, mu, steps=3):
         step = m << s
         r = jnp.where(r >= step, r - step, r)
     return r
-
-
-def _mulmod(x, y, m, mu):
-    # x, y canonical residues < m: product < m^2, short ladder applies
-    # (requires BOTH operands < m — a product merely < 2^28 against a
-    # smaller modulus needs steps=3; see from_rns's beta terms).
-    return _mod(x * y, m, mu, steps=2)
 
 
 def _digits_i8(x):
@@ -427,30 +473,57 @@ def _combine_mod(c0, c1, c2, m, mu, t14):
     return _mod(_combine_raw(c0, c1, c2, m, mu, t14), m, mu)
 
 
-def rns_mont_mul(x, y, sys_):
-    """One RNS Montgomery product over [..., cpad] residue arrays.
+def residues(value, sys_):
+    """Stored (tau-domain) residues of a host integer: [cpad] uint32.
 
-    In/out canonical residues; represented values <= 2kN in and out.
+    Use for exit constants and any host-built operand entering the
+    ladder at residue level (see pow_shared_xla's exit_res).
+    """
+    v = int(value)
+    m_np = np.asarray(sys_.m)
+    s_np = np.asarray(sys_.scale)
+    return jnp.asarray(
+        np.array(
+            [v % int(mc) * int(sc) % int(mc) for mc, sc in zip(m_np, s_np)],
+            dtype=np.uint32,
+        )
+    )
+
+
+def rns_mont_mul(x, y, sys_):
+    """One RNS Montgomery product over [..., cpad] stored-residue arrays.
+
+    In/out canonical stored residues; represented values <= 2kN in and
+    out. Fused tau-domain staging (module docstring): the raw 28-bit
+    channel product is split h*2^14 + l and consumed directly by the
+    sigma / REDC constant multiplies — no t canonicalisation, no tau
+    step.
     """
     k = sys_.k
     m, mu = sys_.m, sys_.mu
-    t = _mulmod(x, y, m, mu)
-    # sigma over base A (constants are 0 off-A; sliced for the matmul).
-    sigma = _mulmod(t[..., :k], sys_.c_sigma[:k], m[:k], mu[:k])
+    raw = x * y  # < m^2 < 2^28, never canonicalised
+    h = raw >> 14  # < 2^14
+    l = raw & 0x3FFF
+    # sigma over base A: (h 2^14 + l) c_sigma mod a, two 28-bit products
+    # summed < 2^29 -> one steps=3 Barrett (err < 2.88 + 2 + 1).
+    sigma = _mod(
+        h[..., :k] * sys_.sig2[:k] + l[..., :k] * sys_.sig1[:k],
+        m[:k], mu[:k],
+    )
     # Extension 1 -> q^ on B u r u pads.
     c0, c1, c2 = _block_matmul(sys_.w_ext1, _digits_i8(sigma))
     mj, muj, t14j = m[k:], mu[k:], sys_.t14[k:]
     qhat = _combine_mod(c0, c1, c2, mj, muj, t14j)  # [..., k+8]
-    # u on B u r u pads: both products < 2^28, sum < 2^29.
+    # u~ on B u r u pads: three products < 2^28, sum < 3*2^28 < 2^30
+    # (err < 2.88 + 3 + 1 -> steps=3).
     u_br = _mod(
-        t[..., k:] * sys_.d_mainv[k:] + qhat * sys_.e_nmainv[k:], mj, muj
-    )
-    # tau over base B.
-    tau = _mulmod(
-        u_br[..., :k], sys_.c_tau[k : 2 * k], m[k : 2 * k], mu[k : 2 * k]
+        h[..., k:] * sys_.d2[k:] + l[..., k:] * sys_.d1[k:]
+        + qhat * sys_.e1[k:],
+        mj, muj,
     )
     # Extension 2 -> S on A u r u pads; exact beta via the redundant row.
-    c0, c1, c2 = _block_matmul(sys_.w_ext2, _digits_i8(tau))
+    # The stored B residue IS tau (tau-domain storage): no multiply.
+    c0, c1, c2 = _block_matmul(sys_.w_ext2, _digits_i8(u_br[..., :k]))
     mi = jnp.concatenate([m[:k], m[2 * k :]])
     mui = jnp.concatenate([mu[:k], mu[2 * k :]])
     t14i = jnp.concatenate([sys_.t14[:k], sys_.t14[2 * k :]])
@@ -500,10 +573,8 @@ def from_rns(u, sys_):
     remove exactly beta * 2^(14 out_limbs) and the value equals u.
     """
     k = sys_.k
-    m, mu = sys_.m, sys_.mu
-    tau = _mulmod(
-        u[..., k : 2 * k], sys_.c_tau[k : 2 * k], m[k : 2 * k], mu[k : 2 * k]
-    )
+    # Tau-domain storage: the stored B residues are the tau coefficients.
+    tau = u[..., k : 2 * k]
     c0, c1, c2 = _block_matmul(sys_.w_out, _digits_i8(tau))
     c0 = c0.astype(jnp.uint32)
     c1 = c1.astype(jnp.uint32)
@@ -539,22 +610,27 @@ def rns_pow_digits(exponent, exponent_bits, window=DEFAULT_WINDOW):
 
 @functools.partial(jax.jit, static_argnames=("window",))
 def pow_shared_xla(x_limbs, digits, conv, sys_, window=DEFAULT_WINDOW,
-                   exit_res=None):
+                   exit_res=None, entry_res=None):
     """x^e mod N (up to +jN, j <= k) via the RNS ladder; XLA reference.
 
     x_limbs: [..., Lin] binary limbs, value < 2kN; digits: [n_windows]
     int32 MSB-first base-2^window digits of e (conv built for Lin).
     Returns [..., out_limbs] canonical binary limbs of value <= kN + 1.
 
-    exit_res (optional [cpad] residues of a constant E < N) replaces the
-    exit multiply by 1 with a multiply by E: the result is x^e * E mod N.
-    Callers use it to fold per-key domain corrections into the ladder for
-    free (e.g. the CRT decrypt enters with Montgomery-domain values x*R
-    and exits through E = R^(2-p) so the output lands back at
-    x^(p-1) * R, costing zero extra products).
+    exit_res (optional [cpad] STORED residues of a constant E < N, built
+    with rns.residues) replaces the exit multiply by 1 with a multiply
+    by E: the result is x^e * E mod N. entry_res similarly replaces the
+    domain-entry constant M_A^2 mod N (sys_.r2_dom) with the residues of
+    M_A^2 * F mod N: the ladder then computes (x*F)^e * E. Both fold
+    per-key domain corrections into the ladder for free — e.g. the CRT
+    decrypt enters with Montgomery-domain values x*R and exits through
+    E = R^(1-p), landing directly at the plain x^(p-1); the scalar
+    multiply feeds ciphertexts c*R with F = R^-1 and E = R, keeping the
+    limb engine's Montgomery domain end to end with no REDC.
     """
     x = to_rns(x_limbs, conv, sys_)
-    xd = rns_mont_mul(x, jnp.broadcast_to(sys_.r2_dom, x.shape), sys_)
+    entry = sys_.r2_dom if entry_res is None else entry_res
+    xd = rns_mont_mul(x, jnp.broadcast_to(entry, x.shape), sys_)
     one = jnp.broadcast_to(sys_.one_dom, xd.shape)
 
     # Table seeded with xd itself (not one*xd): keeps this reference
@@ -574,27 +650,30 @@ def pow_shared_xla(x_limbs, digits, conv, sys_, window=DEFAULT_WINDOW,
         return rns_mont_mul(acc, factor, sys_), None
 
     acc, _ = jax.lax.scan(step, one, digits)
-    # Leave the domain: multiply by the exit constant (default integer 1).
-    unit = (
-        jnp.ones_like(acc)
-        if exit_res is None
-        else jnp.broadcast_to(exit_res, acc.shape)
+    # Leave the domain: multiply by the exit constant (default integer 1,
+    # whose stored residues are the scale vector).
+    unit = jnp.broadcast_to(
+        sys_.scale if exit_res is None else exit_res, acc.shape
     )
     out = rns_mont_mul(acc, unit, sys_)
     return from_rns(out, sys_)
 
 
 @functools.partial(jax.jit, static_argnames=("window",))
-def pow_vec_xla(x_limbs, digits, conv, sys_, window=DEFAULT_WINDOW):
+def pow_vec_xla(x_limbs, digits, conv, sys_, window=DEFAULT_WINDOW,
+                exit_res=None, entry_res=None):
     """Per-element-exponent RNS modexp; XLA reference.
 
     digits: [..., n_windows] int32 MSB-first schedules, one row per
     element (matching x_limbs' leading dims). The table factor is
     selected by a one-hot contraction — constant-time in the exponent,
-    like the limb engine's variant. Same bounds as pow_shared_xla.
+    like the limb engine's variant. Same bounds and entry/exit-constant
+    semantics as pow_shared_xla (note: with entry factor F, the result
+    is (x F)^e E — per-element e, shared F and E).
     """
     x = to_rns(x_limbs, conv, sys_)
-    xd = rns_mont_mul(x, jnp.broadcast_to(sys_.r2_dom, x.shape), sys_)
+    entry = sys_.r2_dom if entry_res is None else entry_res
+    xd = rns_mont_mul(x, jnp.broadcast_to(entry, x.shape), sys_)
     one = jnp.broadcast_to(sys_.one_dom, xd.shape)
 
     def mk(prev, _):
@@ -617,11 +696,15 @@ def pow_vec_xla(x_limbs, digits, conv, sys_, window=DEFAULT_WINDOW):
         return rns_mont_mul(acc, factor, sys_), None
 
     acc, _ = jax.lax.scan(step, one, digits_first)
-    out = rns_mont_mul(acc, jnp.ones_like(acc), sys_)
+    unit = jnp.broadcast_to(
+        sys_.scale if exit_res is None else exit_res, acc.shape
+    )
+    out = rns_mont_mul(acc, unit, sys_)
     return from_rns(out, sys_)
 
 
-def pow_vec(x_limbs, digits, conv, sys_, window=DEFAULT_WINDOW):
+def pow_vec(x_limbs, digits, conv, sys_, window=DEFAULT_WINDOW,
+            exit_res=None, entry_res=None):
     """Dispatcher for the per-element-exponent ladder (see pow_shared)."""
     from phe_tpu import config as _config
 
@@ -629,13 +712,15 @@ def pow_vec(x_limbs, digits, conv, sys_, window=DEFAULT_WINDOW):
         from phe_tpu.ops import pallas_rns
 
         return pallas_rns.pow_vec_rows(
-            x_limbs, digits, conv, sys_, window=window
+            x_limbs, digits, conv, sys_, window=window,
+            exit_res=exit_res, entry_res=entry_res,
         )
-    return pow_vec_xla(x_limbs, digits, conv, sys_, window=window)
+    return pow_vec_xla(x_limbs, digits, conv, sys_, window=window,
+                       exit_res=exit_res, entry_res=entry_res)
 
 
 def pow_shared(x_limbs, digits, conv, sys_, window=DEFAULT_WINDOW,
-               exit_res=None):
+               exit_res=None, entry_res=None):
     """Dispatcher between the fused Pallas ladder and the XLA reference.
 
     PHE_TPU_RNS_KERNEL=auto|pallas|xla. auto: the Pallas kernel on TPU
@@ -649,8 +734,10 @@ def pow_shared(x_limbs, digits, conv, sys_, window=DEFAULT_WINDOW,
         from phe_tpu.ops import pallas_rns
 
         return pallas_rns.pow_shared_rows(
-            x_limbs, digits, conv, sys_, window=window, exit_res=exit_res
+            x_limbs, digits, conv, sys_, window=window, exit_res=exit_res,
+            entry_res=entry_res,
         )
     return pow_shared_xla(
-        x_limbs, digits, conv, sys_, window=window, exit_res=exit_res
+        x_limbs, digits, conv, sys_, window=window, exit_res=exit_res,
+        entry_res=entry_res,
     )

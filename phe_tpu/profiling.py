@@ -11,11 +11,17 @@ Cost model of one Montgomery multiply over L limbs (phe_tpu/ops):
 
 * **MXU path** (the production kernel, montgomery.build_context(mxu=True)):
   the data-dependent a*b schoolbook runs on the VPU — L^2 uint32
-  multiplies (plus a similar count of aligns/adds, ignored: multiply
-  issue rate is the binding resource) — and both REDC products run as
-  int8 constant matmuls over 7-bit digits: [2L,2L] and [4L,2L] against
-  a [2L] digit column = 4L^2 + 8L^2 = 12 L^2 int8 MACs per element.
+  multiplies plus a similar count of aligns/adds — and both REDC
+  products run as int8 constant matmuls over 7-bit digits: [2L,2L] and
+  [4L,2L] against a [2L] digit column = 4L^2 + 8L^2 = 12 L^2 int8 MACs
+  per element.
 * **VPU fallback**: all three products schoolbook, ~3 L^2 uint32 mults.
+
+Round-4 calibration (scripts/vpu_microbench.py): the VPU binds on
+elementwise op ISSUE, not multiplier throughput — u32 mul and u32 add
+both sustain ~0.65 T/s serially on v5e, while mixed Barrett-shaped
+streams reach ~1.44 T op/s. Costs therefore carry both a multiply count
+and a total-op estimate, each priced at its measured rate.
 
 A w-bit windowed modexp of an e-bit exponent costs
 ceil(e/w)*(w+1) + 2^w - 2 Montgomery multiplies (kernel loop shape in
@@ -28,27 +34,43 @@ the peaks are right.
 import contextlib
 import time
 
-# Per-chip peaks. VPU: lanes * cores * clock, one u32 multiply per
-# lane-cycle (documented assumption; TPU VPUs issue one 32-bit integer
-# multiply per lane per cycle). MXU int8: vendor TOPS / 2 (a MAC is two
-# ops). Sources: public TPU spec sheets / cloud.google.com hardware pages.
+# Per-chip peaks, MEASURED where possible (round 4). The round-3 model
+# assumed one u32 multiply per VPU lane-cycle (962 G/s on v5e) and
+# counted only multiplies; scripts/vpu_microbench.py shows both halves
+# are wrong in opposite directions on real v5e silicon:
+#   * sustained serial u32 multiply issue is 0.65 T/s — and u32 ADD
+#     issues at the SAME 0.65 T/s, i.e. the binding resource is
+#     elementwise op ISSUE, not multiplier throughput;
+#   * mixed multiply/shift/compare/select streams (the Barrett shape)
+#     superscalar to ~1.4 T op/s.
+# The corrected roofline therefore carries two VPU bounds — multiplies
+# at the measured mul-issue rate, and TOTAL elementwise ops at the
+# measured mixed-stream rate — plus the MXU MAC bound, and takes the
+# max over unit times. MXU int8: vendor TOPS / 2 (a MAC is two ops).
+# Non-v5e rows scale the v5e measurements by nominal VPU ratios
+# (unmeasured — flagged via `assumed` when matched).
+_V5E_VPU_MUL = 0.65e12  # measured, scripts/vpu_microbench.py
+_V5E_VPU_OP = 1.44e12  # measured, mixed barrett-shaped stream
 _CHIP_PEAKS = {
-    # device_kind substring: (vpu_u32_mul_per_s, mxu_int8_macs_per_s)
-    "v4": (2 * 8 * 128 * 1.05e9, 275e12 / 2),  # no int8 path: bf16 rate
-    "v5 lite": (8 * 128 * 0.94e9, 394e12 / 2),
-    "v5e": (8 * 128 * 0.94e9, 394e12 / 2),
-    "v5p": (2 * 8 * 128 * 1.75e9, 918e12 / 2),
-    "v6 lite": (2 * 8 * 128 * 0.94e9, 1836e12 / 2),
-    "v6e": (2 * 8 * 128 * 0.94e9, 1836e12 / 2),
+    # device_kind substring:
+    #   (vpu_u32_mul_per_s, vpu_mixed_op_per_s, mxu_int8_macs_per_s)
+    "v4": (_V5E_VPU_MUL * 2.2, _V5E_VPU_OP * 2.2, 275e12 / 2),
+    "v5 lite": (_V5E_VPU_MUL, _V5E_VPU_OP, 394e12 / 2),
+    "v5e": (_V5E_VPU_MUL, _V5E_VPU_OP, 394e12 / 2),
+    "v5p": (_V5E_VPU_MUL * 3.7, _V5E_VPU_OP * 3.7, 918e12 / 2),
+    "v6 lite": (_V5E_VPU_MUL * 2, _V5E_VPU_OP * 2, 1836e12 / 2),
+    "v6e": (_V5E_VPU_MUL * 2, _V5E_VPU_OP * 2, 1836e12 / 2),
 }
 _DEFAULT_PEAKS = _CHIP_PEAKS["v5e"]
+_MEASURED = ("v5 lite", "v5e")
 
 
 def chip_peaks(device_kind=None):
-    """((vpu_u32_mul_per_s, mxu_int8_macs_per_s), kind, assumed).
+    """((vpu_u32_mul/s, vpu_mixed_op/s, mxu_int8_mac/s), kind, assumed).
 
-    Matches jax.devices()[0].device_kind against the table; unknown chips
-    (including the CPU test platform) report v5e numbers with
+    Matches jax.devices()[0].device_kind against the table; unknown
+    chips (including the CPU test platform) report v5e numbers with
+    ``assumed=True``; known-but-unmeasured chips (scaled rows) also set
     ``assumed=True`` so downstream reports can flag it.
     """
     if device_kind is None:
@@ -61,16 +83,20 @@ def chip_peaks(device_kind=None):
     kind = device_kind.lower()
     for key, peaks in _CHIP_PEAKS.items():
         if key in kind:
-            return peaks, device_kind, False
+            return peaks, device_kind, key not in _MEASURED
     return _DEFAULT_PEAKS, device_kind, True
 
 
 def mont_mul_cost(limbs, mxu=True):
-    """{'vpu_u32_mul', 'mxu_i8_mac'} for one Montgomery multiply."""
+    """Unit costs for one limb-engine Montgomery multiply.
+
+    vpu_op (total elementwise issue) is estimated at 2x the multiply
+    count for the schoolbook (align/add per product).
+    """
     L2 = limbs * limbs
     if mxu:
-        return {"vpu_u32_mul": L2, "mxu_i8_mac": 12 * L2}
-    return {"vpu_u32_mul": 3 * L2, "mxu_i8_mac": 0}
+        return {"vpu_u32_mul": L2, "vpu_op": 2 * L2, "mxu_i8_mac": 12 * L2}
+    return {"vpu_u32_mul": 3 * L2, "vpu_op": 6 * L2, "mxu_i8_mac": 0}
 
 
 def _scale(cost, k):
@@ -104,18 +130,26 @@ def decrypt_cost(n_bits, limbs_halfsq, window=4, mxu=True):
 
 # -- RNS (Cox-Rower) engine cost model (phe_tpu/ops/rns.py) ------------------
 #
-# One RNS Montgomery product over k channels per base (cpad ~ 2k + 8):
-# counting uint32 multiplies (1 per channel product, 2 per Barrett
-# reduction — the quotient estimate and q*m):
-#   t 3C; sigma/tau/u_a 3k each; both digit combines 3(k+8) each;
-#   qhat reduction 2(k+8); u_br 4(k+8)  =>  ~30k + O(1) VPU multiplies,
+# One fused tau-domain RNS Montgomery product over k channels per base
+# (cpad ~ 2k + 8), counting uint32 multiplies (rns.rns_mont_mul):
+#   raw product 2k; sigma 4k (2 products + steps-3 Barrett); qhat
+#   combine+reduce 5(k+8); fused u~ 5(k+8); S combine 3(k+8); u_a 3k
+#   => ~22k + O(1) VPU multiplies,
 # plus the two base-extension int8 matmuls: 2 * [3(k+8), 2k] digit rows
-# = 12 k (k+8) MACs.
+# = 12 k (k+8) MACs. Total elementwise VPU issue (shifts, masks, adds,
+# compares, selects alongside the multiplies, from a static count of the
+# kernel body) is ~3.3x the multiply count; the mixed-stream rate in
+# chip_peaks prices that bound.
 
 
 def rns_mont_mul_cost(k):
-    """{'vpu_u32_mul', 'mxu_i8_mac'} for one RNS Montgomery product."""
-    return {"vpu_u32_mul": 30 * k + 120, "mxu_i8_mac": 12 * k * (k + 8)}
+    """Unit costs for one fused RNS Montgomery product."""
+    mul = 22 * k + 120
+    return {
+        "vpu_u32_mul": mul,
+        "vpu_op": int(3.3 * mul),
+        "mxu_i8_mac": 12 * k * (k + 8),
+    }
 
 
 def rns_modexp_cost(exponent_bits, k, window):
@@ -123,6 +157,18 @@ def rns_modexp_cost(exponent_bits, k, window):
     n_windows = -(-exponent_bits // window)
     montmuls = n_windows * (window + 1) + 2**window - 2 + 2
     return _scale(rns_mont_mul_cost(k), montmuls)
+
+
+def rns_vec_modexp_cost(exponent_bits, k, window):
+    """Per-element-exponent RNS modexp: the shared ladder plus the
+    constant-time one-hot table select (2^w multiply-adds over all
+    cpad ~ 2k channels per window — pallas_rns._ladder_vec_kernel)."""
+    n_windows = -(-exponent_bits // window)
+    sel_mul = n_windows * 2**window * 2 * k
+    return _add(
+        rns_modexp_cost(exponent_bits, k, window),
+        {"vpu_u32_mul": sel_mul, "vpu_op": 2 * sel_mul, "mxu_i8_mac": 0},
+    )
 
 
 def rns_encrypt_cost(n_bits, k, window):
@@ -136,12 +182,18 @@ def rns_decrypt_cost(n_bits, k_half, window):
 
 
 def ideal_seconds_per_op(cost, peaks=None):
-    """Roofline lower bound: each unit at its own peak, perfect overlap."""
+    """Roofline lower bound: each unit at its own peak, perfect overlap.
+
+    Units: u32 multiplies at the measured mul-issue rate, total
+    elementwise ops at the measured mixed-stream rate, MXU MACs at the
+    vendor int8 peak. The op-issue bound is usually the binding one.
+    """
     if peaks is None:
         peaks, _, _ = chip_peaks()
-    vpu_peak, mxu_peak = peaks
+    vpu_mul_peak, vpu_op_peak, mxu_peak = peaks
     return max(
-        cost.get("vpu_u32_mul", 0) / vpu_peak,
+        cost.get("vpu_u32_mul", 0) / vpu_mul_peak,
+        cost.get("vpu_op", 0) / vpu_op_peak,
         cost.get("mxu_i8_mac", 0) / mxu_peak,
     )
 
@@ -154,21 +206,25 @@ def report(op, ops_per_s, cost):
     fractions show which engine the kernel is actually limited by.
     """
     peaks, kind, assumed = chip_peaks()
-    vpu_peak, mxu_peak = peaks
+    vpu_mul_peak, vpu_op_peak, mxu_peak = peaks
     ideal = ideal_seconds_per_op(cost, peaks)
-    vpu_frac = ops_per_s * cost.get("vpu_u32_mul", 0) / vpu_peak
-    mxu_frac = ops_per_s * cost.get("mxu_i8_mac", 0) / mxu_peak
+    fracs = {
+        "vpu_mul_fraction": ops_per_s * cost.get("vpu_u32_mul", 0)
+        / vpu_mul_peak,
+        "vpu_op_fraction": ops_per_s * cost.get("vpu_op", 0) / vpu_op_peak,
+        "mxu_fraction": ops_per_s * cost.get("mxu_i8_mac", 0) / mxu_peak,
+    }
     return {
         "op": op,
         "ops_per_s": round(ops_per_s, 2),
         "device_kind": kind,
         "peaks_assumed": assumed,
         "vpu_u32_mul_per_op": int(cost.get("vpu_u32_mul", 0)),
+        "vpu_op_per_op": int(cost.get("vpu_op", 0)),
         "mxu_i8_mac_per_op": int(cost.get("mxu_i8_mac", 0)),
-        "vpu_fraction": round(vpu_frac, 4),
-        "mxu_fraction": round(mxu_frac, 4),
+        **{name: round(f, 4) for name, f in fracs.items()},
         "speed_of_light_fraction": round(ops_per_s * ideal, 4),
-        "bound_by": "vpu" if vpu_frac >= mxu_frac else "mxu",
+        "bound_by": max(fracs, key=fracs.get).replace("_fraction", ""),
     }
 
 

@@ -61,7 +61,8 @@ def main():
     dt, r = t(lambda: dc.random_r_bytes(B))
     print("enc.random_r_bytes       %8.2f ms" % (dt * 1e3), flush=True)
     m, r = block(m), block(r)
-    rsys, conv = dc.rns_state()
+    st = dc.rns_state()
+    rsys, conv = st.rsys, st.conv
     from phe_tpu.utils import limbs as hl
 
     dt, _ = t(lambda: block(bt._nude_encrypt_dev(
@@ -79,7 +80,7 @@ def main():
     dt, _ = t(lambda: block(jax.jit(rns.from_rns)(u.T, rsys)))
     print("enc.from_rns (dev)       %8.2f ms" % (dt * 1e3), flush=True)
     dt, _ = t(lambda: block(bt._encrypt_rns_dev(
-        m, r, dc.n_limbs, dc.nr2_limbs, dc.n_digits, dc.ctx, rsys, conv,
+        m, r, dc.n_limbs, dc.nr2_limbs, dc.n_digits, dc.ctx, st,
         ln=dc.Ln)))
     print("enc.full fused (dev)     %8.2f ms" % (dt * 1e3), flush=True)
     dt, _ = t(lambda: block(EncryptedBatch.encrypt(pub, vals).mont))
@@ -90,7 +91,8 @@ def main():
     ct = EncryptedBatch.encrypt(pub, vals)
     block(ct.mont)
     pk = pdc.consts
-    (rsys_p, conv_p, ers_p), (rsys_q, conv_q, ers_q) = pdc.rns_state()
+    half_p, half_q = pdc.rns_state()
+    rsys_p, conv_p, ers_p, red_p2 = half_p
     print("geom: pub L=%d k=%d cpad=%d | half L2=%d kp=%d cpad_p=%d" % (
         dc.L, rsys.k, rsys.cpad, pk.ctx_p.num_limbs, rsys_p.k, rsys_p.cpad),
         flush=True)
@@ -102,7 +104,11 @@ def main():
     dt, xp = t(lambda: block(mr(plain)))
     print("dec.mod_reduce p (dev)   %8.2f ms" % (dt * 1e3), flush=True)
     tr = jax.jit(rns.to_rns)
-    dt, xr = t(lambda: block(tr(xp, conv_p, rsys_p)))
+    L2 = pk.ctx_p.num_limbs
+    xm_p = block(jax.jit(lambda xx: bt.lm.add(
+        bt.mg.mont_mul_const(xx[..., :L2], pk.ctx_p.r2, pk.ctx_p),
+        xx[..., L2:] * jax.numpy.broadcast_to(pk.ctx_p.r2, xx[..., :L2].shape)))(xp))
+    dt, xr = t(lambda: block(tr(xm_p, conv_p, rsys_p)))
     print("dec.to_rns p (dev)       %8.2f ms" % (dt * 1e3), flush=True)
     dt, up = t(lambda: block(pallas_rns.ladder_cols(xr.T, pk.dp_digits, rsys_p, window=bt.DECRYPT_WINDOW)))
     print("dec.ladder p (dev)       %8.2f ms" % (dt * 1e3), flush=True)
@@ -110,8 +116,7 @@ def main():
     print("dec.from_rns p (dev)     %8.2f ms" % (dt * 1e3), flush=True)
 
     dt, mbytes = t(lambda: block(bt._decrypt_rns_dev(
-        ct.mont, dc.ctx, pk, (rsys_p, conv_p, ers_p),
-        (rsys_q, conv_q, ers_q))))
+        ct.mont, dc.ctx, pk, half_p, half_q)))
     print("dec.full fused (dev)     %8.2f ms" % (dt * 1e3), flush=True)
     rows = jax.device_get(mbytes)
     dt, ints = t(lambda: bt._bytes_to_ints(np.asarray(jax.device_get(mbytes))))
@@ -146,6 +151,18 @@ def main():
     digits = jnp.asarray(bt._digits_rows(ks, bits, pad_rows=ct.mont.shape[0]))
     dt, _ = t(lambda: block(mg.mont_pow(ct.mont, digits, dc.ctx)))
     print("mul.mont_pow limb (dev)  %8.2f ms" % (dt * 1e3), flush=True)
+    xr2 = block(jax.jit(rns.to_rns)(ct.mont, conv, rsys))
+    dt, _ = t(lambda: block(jax.jit(rns.to_rns)(ct.mont, conv, rsys)))
+    print("mul.to_rns (dev)         %8.2f ms" % (dt * 1e3), flush=True)
+    dt, uv = t(lambda: block(pallas_rns.ladder_vec_cols(
+        xr2.T, digits.T, rsys, exit_res=st.exit_r, entry_res=st.entry_mont)))
+    print("mul.vec ladder (dev)     %8.2f ms" % (dt * 1e3), flush=True)
+    dt, wv = t(lambda: block(jax.jit(rns.from_rns)(uv.T, rsys)))
+    print("mul.from_rns (dev)       %8.2f ms" % (dt * 1e3), flush=True)
+    dt, _ = t(lambda: block(jax.jit(mg.reduce_excess)(wv, st.red)))
+    print("mul.reduce_excess (dev)  %8.2f ms" % (dt * 1e3), flush=True)
+    dt, _ = t(lambda: block(bt._pow_elems_dev(ct.mont, digits, dc.ctx, st)))
+    print("mul.pow_elems fused (dev)%8.2f ms" % (dt * 1e3), flush=True)
     dt, _ = t(lambda: block(ct.mul_scalars(scalars).mont))
     print("mul.end_to_end           %8.2f ms -> %8.1f ops/s"
           % (dt * 1e3, B / dt), flush=True)

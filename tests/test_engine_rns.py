@@ -13,6 +13,9 @@ import phe_tpu
 from phe_tpu.batch import EncryptedBatch
 from phe_tpu.encoding import EncodedNumber
 
+# On-hardware lane subset: PHE_TPU_TEST_PLATFORM=tpu pytest -m hardware_smoke
+pytestmark = pytest.mark.hardware_smoke
+
 
 @pytest.fixture(autouse=True)
 def _force_rns(monkeypatch):

@@ -18,6 +18,9 @@ import phe_tpu
 from phe_tpu.batch import EncryptedBatch
 from phe_tpu.encoding import EncodedNumber
 
+# On-hardware lane subset: PHE_TPU_TEST_PLATFORM=tpu pytest -m hardware_smoke
+pytestmark = pytest.mark.hardware_smoke
+
 P3072 = int(
     "0xa6171f4f81623fd7edebe03d88ef260b37747eadb6cecc412070e5a2a40f0cd8"
     "b63504238c7d8c639afc26725946e8967eff131bcf0db2c0102ca7b54ddd9660"

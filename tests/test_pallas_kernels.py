@@ -19,6 +19,9 @@ from phe_tpu.ops import montgomery as mg
 from phe_tpu.ops import pallas_modexp as pmx
 from phe_tpu.utils import limbs as hl
 
+# On-hardware lane subset: PHE_TPU_TEST_PLATFORM=tpu pytest -m hardware_smoke
+pytestmark = pytest.mark.hardware_smoke
+
 
 def _vals(arr, mod):
     return [v % mod for v in hl.limbs_to_ints(np.asarray(arr))]

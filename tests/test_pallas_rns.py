@@ -10,6 +10,9 @@ from phe_tpu.ops import rns
 from phe_tpu.ops import pallas_rns
 from phe_tpu.utils import limbs as hl
 
+# On-hardware lane subset: PHE_TPU_TEST_PLATFORM=tpu pytest -m hardware_smoke
+pytestmark = pytest.mark.hardware_smoke
+
 
 @pytest.fixture(scope="module")
 def system():

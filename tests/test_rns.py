@@ -36,8 +36,27 @@ def _products(sys_):
 
 
 def _channel_values(sys_, value):
+    """True (unscaled) residues of a host integer in every channel."""
     m = np.asarray(sys_.m, dtype=np.uint64)
     return np.array([value % int(mc) for mc in m], dtype=np.uint32)
+
+
+def _stored_values(sys_, value):
+    """Stored (tau-domain) residues: B rows carry the c_tau scale."""
+    return np.asarray(rns.residues(value, sys_))
+
+
+def _unscale(sys_, stored_row):
+    """Stored residue row -> true residues (divide the scale back out)."""
+    m = np.asarray(sys_.m, dtype=np.uint64)
+    s = np.asarray(sys_.scale, dtype=np.uint64)
+    return np.array(
+        [
+            int(v) * pow(int(sc), -1, int(mc)) % int(mc)
+            for v, sc, mc in zip(stored_row, s, m)
+        ],
+        dtype=np.uint32,
+    )
 
 
 def test_build_invariants(system):
@@ -52,11 +71,15 @@ def test_build_invariants(system):
     assert (m[2 * k :] == m[2 * k]).all()  # pads replicate m_r
     # Domain constants represent the reduced values (< N), not M_A itself
     # — the unreduced form breaks the chain bound at production sizes.
+    # They are stored in tau-domain form (B rows scaled by c_tau).
     one = np.asarray(sys_.one_dom)
-    np.testing.assert_array_equal(one, _channel_values(sys_, M_A % N))
+    np.testing.assert_array_equal(one, _stored_values(sys_, M_A % N))
     np.testing.assert_array_equal(
-        np.asarray(sys_.r2_dom), _channel_values(sys_, M_A * M_A % N)
+        np.asarray(sys_.r2_dom), _stored_values(sys_, M_A * M_A % N)
     )
+    # The scale vector is 1 on A, r and pad rows.
+    s = np.asarray(sys_.scale)
+    assert (s[:k] == 1).all() and (s[2 * k :] == 1).all()
 
 
 def test_to_rns_exact_including_redundant_limbs(system):
@@ -81,7 +104,7 @@ def test_to_rns_exact_including_redundant_limbs(system):
     got = np.asarray(rns.to_rns(rows, conv, sys_))
     for i in range(rows.shape[0]):
         value = hl.limbs_to_int(rows[i])
-        np.testing.assert_array_equal(got[i], _channel_values(sys_, value))
+        np.testing.assert_array_equal(got[i], _stored_values(sys_, value))
 
 
 def test_mont_mul_exact_and_bounded(system):
@@ -93,8 +116,8 @@ def test_mont_mul_exact_and_bounded(system):
     rng = random.Random(3)
     xs = [rng.randrange(bound) for _ in range(8)]
     ys = [rng.randrange(bound) for _ in range(8)]
-    X = np.stack([_channel_values(sys_, v) for v in xs])
-    Y = np.stack([_channel_values(sys_, v) for v in ys])
+    X = np.stack([_stored_values(sys_, v) for v in xs])
+    Y = np.stack([_stored_values(sys_, v) for v in ys])
     U = np.asarray(rns.rns_mont_mul(X, Y, sys_))
     ma_inv = pow(M_A, -1, N)
     for i in range(8):
@@ -102,7 +125,7 @@ def test_mont_mul_exact_and_bounded(system):
         # is congruent to x y M_A^-1 mod N: reconstruct u by CRT over all
         # channels (unique below M_A * m_r > bound) and check both.
         want_mod_N = xs[i] * ys[i] * ma_inv % N
-        # CRT over base A + redundant channel.
+        # CRT over base A + redundant channel (scale 1: stored = true).
         m = [int(v) for v in np.asarray(sys_.m[: k]).tolist()] + [
             int(sys_.m_r[0])
         ]
@@ -114,8 +137,8 @@ def test_mont_mul_exact_and_bounded(system):
             mod *= mi
         assert u <= bound, "chain bound violated"
         assert u % N == want_mod_N
-        # And every channel (incl. base B) agrees with u.
-        np.testing.assert_array_equal(U[i], _channel_values(sys_, u))
+        # And every channel (incl. the scaled base-B rows) agrees with u.
+        np.testing.assert_array_equal(U[i], _stored_values(sys_, u))
 
 
 def test_from_rns_roundtrip(system):
@@ -123,7 +146,7 @@ def test_from_rns_roundtrip(system):
     _, M_B = _products(sys_)
     rng = random.Random(11)
     vals = [rng.randrange(M_B) for _ in range(8)] + [0, 1, M_B - 1]
-    X = np.stack([_channel_values(sys_, v) for v in vals])
+    X = np.stack([_stored_values(sys_, v) for v in vals])
     out = np.asarray(rns.from_rns(X, sys_))
     for i, v in enumerate(vals):
         assert hl.limbs_to_int(out[i]) == v
