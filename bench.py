@@ -35,11 +35,14 @@ BASELINES = {
 
 # Per-op batch sizes (see scripts/sweep_b.py): large enough that the
 # kernel dominates dispatch latency, small enough to keep the run short.
+# Round 4: with the REDC-free mul path the fixed ~40 ms dispatch+transfer
+# cost dominated mul at 8192; the ladder now amortises at 32k. add is
+# pure dispatch until ~10^5 elements.
 SIZES = {
     "encrypt": 8192,
-    "decrypt": 8192,
-    "add": 65536,
-    "mul": 8192,
+    "decrypt": 16384,
+    "add": 131072,
+    "mul": 32768,
 }
 
 

@@ -22,11 +22,13 @@ import time
 import numpy as np
 
 CPYTHON_BASELINE = {
-    # op -> {keysize: single-core ops/s} (BASELINE.md measured table)
-    "encrypt": {1024: 55.5, 2048: 9.2},
-    "decrypt": {1024: 179.0, 2048: 32.7},
-    "add_enc_enc": {1024: 39614.0, 2048: 22218.0},
-    "mul_enc_scalar": {1024: 386.0, 2048: 297.0},
+    # op -> {keysize: single-core ops/s}. 1024/2048: BASELINE.md measured
+    # table; 3072 measured in round 4 against the reference as-is in this
+    # environment (keygen 4.77 s/pair; same 40/4000/200-op methodology).
+    "encrypt": {1024: 55.5, 2048: 9.2, 3072: 3.51},
+    "decrypt": {1024: 179.0, 2048: 32.7, 3072: 13.16},
+    "add_enc_enc": {1024: 39614.0, 2048: 22218.0, 3072: 7622.0},
+    "mul_enc_scalar": {1024: 386.0, 2048: 297.0, 3072: 157.6},
 }
 
 
