@@ -114,6 +114,18 @@ def bench_key_size(keysize, batch, runs=3, emit=print):
     run("add_enc_scalar", lambda: _sync(enc + scalars))
     run("add_enc_one", lambda: _sync(enc + [1.0] * batch))
     run("mul_enc_scalar", lambda: _sync(enc * scalars))
+    results["add_enc_enc"]["speed_of_light"] = profiling.report(
+        "add", results["add_enc_enc"]["value"], profiling.mont_mul_cost(dc.L)
+    )["speed_of_light_fraction"]
+    if _batch._use_rns() and dc.rns_state() is not None:
+        mul_cost = profiling.rns_vec_modexp_cost(
+            64, dc.rns_state().rsys.k, _batch.DEFAULT_WINDOW
+        )
+    else:
+        mul_cost = profiling.modexp_cost(64, dc.L)
+    results["mul_enc_scalar"]["speed_of_light"] = profiling.report(
+        "mul", results["mul_enc_scalar"]["value"], mul_cost
+    )["speed_of_light_fraction"]
     run("sum_batch", lambda: _sync(enc.sum()), unit="elements/s")
 
     for op, r in results.items():
