@@ -35,14 +35,18 @@ BASELINES = {
 
 # Per-op batch sizes (see scripts/sweep_b.py): large enough that the
 # kernel dominates dispatch latency, small enough to keep the run short.
-# Round 4: with the REDC-free mul path the fixed ~40 ms dispatch+transfer
-# cost dominated mul at 8192; the ladder now amortises at 32k. add is
-# pure dispatch until ~10^5 elements.
+# Round 4: decrypt/add sizes raised (both verified to compile+run on
+# hardware: decrypt 37.0k ops/s at 16384, add 3.05M at 131072). mul
+# stays at 8192: the 32768-element one-hot vec-ladder program hit a
+# pathological >45-minute Mosaic/XLA compile on the tunnelled worker —
+# at 8192 mul is dispatch+transfer-bound (~40 ms fixed vs ~14 ms of
+# kernel compute; model roofline 584k ops/s), which docs/performance.md
+# accounts for.
 SIZES = {
     "encrypt": 8192,
     "decrypt": 16384,
     "add": 131072,
-    "mul": 32768,
+    "mul": 8192,
 }
 
 
