@@ -665,11 +665,11 @@ class PublicDeviceContext:
         """(RNSSystem, RNSConversion) for modexp mod n^2, or None.
 
         None when the modulus exceeds the RNS channel prime supply
-        (keys above ~3741 bits need more primes in (rns.M_MIN, 2^14)
+        (keys above ~4380 bits need more primes in (rns.M_MIN, 2^14)
         than exist); callers then stay on the limb engine, which has no
         size ceiling. The reference's default 3072-bit keysize
-        (phe/paillier.py:34) rides this fast engine: n^2 = 6144 bits
-        takes 913 of the 1,149 available channels.
+        (phe/paillier.py:34) rides this fast engine (913 of the 1,335
+        available channels), as do 4096-bit keys (1,249 channels).
         """
         if self._rns is None:
             try:
@@ -950,7 +950,7 @@ class PrivateDeviceContext:
                 self._rns = tuple(state)
             except ValueError:
                 # Prime-square modulus exceeds the RNS channel supply
-                # (keys above ~7582 bits): stay on the limb engine.
+                # (keys above ~8761 bits): stay on the limb engine.
                 self._rns = (None, None)
         return self._rns if self._rns != (None, None) else None
 

@@ -41,8 +41,8 @@ def _interpret():
 def _mod_cols(x, m, mu, steps=3):
     """Barrett on [R, TB] rows with [R, 1] constants (bounds: rns._mod).
 
-    steps=2 is exact for x < 2^28 (products of two canonical residues and
-    the digit-combine carry term); steps=3 covers x < 2^30 (rns._mod).
+    steps=3 covers every call site down to the M_MIN=4099 channel floor
+    (per-site bound table in rns.py's module docstring).
     """
     q = ((x >> 14) * mu) >> 14
     r = x - q * m
@@ -115,7 +115,7 @@ def _ladder_kernel(
         c0 = o[:K1].astype(jnp.uint32)
         c1 = o[K1 : 2 * K1].astype(jnp.uint32)
         c2 = o[2 * K1 :].astype(jnp.uint32)
-        e = _mod_cols(c2 + (c1 >> 7), mm, mmu, steps=2)
+        e = _mod_cols(c2 + (c1 >> 7), mm, mmu)
         return c0 + ((c1 & 0x7F) << 7) + e * tt14
 
     def montmul(x, y):
@@ -324,7 +324,7 @@ def _ladder_vec_kernel(
         c0 = o[:K1].astype(jnp.uint32)
         c1 = o[K1 : 2 * K1].astype(jnp.uint32)
         c2 = o[2 * K1 :].astype(jnp.uint32)
-        e = _mod_cols(c2 + (c1 >> 7), mm, mmu, steps=2)
+        e = _mod_cols(c2 + (c1 >> 7), mm, mmu)
         return c0 + ((c1 & 0x7F) << 7) + e * tt14
 
     def montmul(x, y):

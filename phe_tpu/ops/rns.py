@@ -109,20 +109,32 @@ and the quotient error obeys
   x/m - q  <  2^14/m + (x >> 14)/2^14 + 1.
 
 The conditional-subtract ladder must cover r = x - q*m < err*m, i.e.
-err <= 2^steps. With the channel floor m >= M_MIN = 5701
-(2^14/m <= 2.874), per call-site:
+err <= 2^steps. With the channel floor m >= M_MIN = 4099
+(2^14/m < 3.997 strictly, since m > 2^12), every call-site fits the
+steps=3 ladder (4m, 2m, m), with the per-site x bounds:
 
-* generic x < 2^30 (digit recombination + additive folds):
-  err < 2.874 + 4 + 1 = 7.88 < 8        -> steps=3 (4m, 2m, m);
-* product of two canonical residues x < m^2 (m < 2^14):
-  err < 2.874 + m^2/2^28 + 1 <= 4.00    -> steps=2 (2m, m)
-  (the m^2/2^28 term is what pins M_MIN: at m = 5690 the bound
-  crosses 4 exactly; 5701 leaves margin 0.005);
-* digit-combine carry x = c2 + (c1>>7) < T*16255 over T <= 2000
-  matmul terms: err < 2.874 + 0.121 + 1  -> steps=2.
+* sigma: x = h*sig2 + l*sig1 < 2*2^14*m ->
+  err < 3.997 + 2m/2^14 + 1 <= 3.997 + 2 + 1 = 7.00;
+* fused u~: x = h*d2 + l*d1 + q^*e1 < m*(2^15 + m) ->
+  err < 3.997 + 2m/2^14 + m^2/2^28 + 1 <= 5.56 (worst at m = 4099;
+  the three terms anti-correlate with m, max over the range < 7);
+* digit-combine carry x = c2 + (c1>>7) < T*16255, T <= 2000 terms ->
+  err < 3.997 + 0.13 + 1 = 5.13;
+* combine outputs + additive folds (q^ reduce, S, u_a): x < 2^28.3 ->
+  err < 3.997 + 1.3 + 1 = 6.3.
 
-uint32 safety: mu <= floor(2^28/5701) = 47086 and x>>14 <= 2^16 - 1,
-so the quotient product stays below 3.09e9 < 2^32.
+uint32 safety: mu <= floor(2^28/4099) = 65487; the largest quotient
+operand x>>14 is the fused-u~ case, < 2m + m^2/2^14 <= 49151, and x>>14
+anti-correlates with mu (big mu needs small m, which bounds x), so the
+product peaks near m = 4099 at ~9223 * 65487 < 2^30 — no overflow.
+
+History: round 4 first lowered the floor from 2^13 to 5701 (keeping the
+original steps=2 short ladders on residue products), then to 4099 by
+moving the digit-combine carry reduction to steps=3 — at which point
+every site is steps=3 and the short ladder is gone entirely. Supply:
+872 primes in (2^13, 2^14), 1,149 above 5701, **1,335 above 4099** —
+the difference between capping at ~2560-bit, ~3741-bit, and ~4380-bit
+encrypt keys respectively.
 
 This module is the host-side system builder plus the XLA reference
 implementation (bit-exact twin of the fused Pallas kernel in
@@ -141,11 +153,11 @@ from phe_tpu.utils import limbs as hl
 
 DEFAULT_WINDOW = 4
 _SPARE = 8  # channel rows past 2k: [r, r replicas] so the axis tiles
-# Channel-prime floor: the smallest modulus for which the fixed Barrett
-# conditional-subtract ladders (steps=2 for residue products, steps=3
-# for x < 2^30) still cover the quotient error — see the module
-# docstring's derivation. Primes in (M_MIN, 2^14): 1,149.
-M_MIN = 5701
+# Channel-prime floor: the smallest modulus for which the steps=3
+# Barrett conditional-subtract ladder covers the quotient error at
+# every call site — see the module docstring's derivation. Primes in
+# (M_MIN, 2^14): 1,335.
+M_MIN = 4099
 
 
 class RNSSystem(NamedTuple):
@@ -417,12 +429,10 @@ def _mod(x, m, mu, steps=3):
     """Barrett: x < 2^30 -> x mod m, canonical (bounds in module docstring).
 
     steps: conditional-subtract ladder length. The quotient estimate
-    q = ((x >> 14) mu) >> 14 has error < 2^14/m + (x >> 14)/2^14 + 1, so
-    with m >= M_MIN the remainder is < 8m for x < 2^30 (3 steps:
-    4m, 2m, m) and < 4m for products x*y of two canonical residues
-    < m and the digit-combine carry term (2 steps: 2m, m) — the short
-    ladder cuts ~10% of the per-product VPU work. Full per-site bound
-    table in the module docstring.
+    q = ((x >> 14) mu) >> 14 has error < 2^14/m + (x >> 14)/2^14 + 1;
+    with m >= M_MIN every call site's error stays below 8, covered by
+    steps=3 (4m, 2m, m). Full per-site bound table in the module
+    docstring.
     """
     q = ((x >> 14) * mu) >> 14
     r = x - q * m
@@ -463,8 +473,8 @@ def _combine_raw(c0, c1, c2, m, mu, t14):
     c0 = c0.astype(jnp.uint32)
     c1 = c1.astype(jnp.uint32)
     c2 = c2.astype(jnp.uint32)
-    # carry term < 2000 * 16255 < 2^25: error < 2.88 + 0.13 + 1 -> short ladder.
-    e = _mod(c2 + (c1 >> 7), m, mu, steps=2)
+    # carry term < 2000 * 16255 < 2^25: error < 3.997 + 0.13 + 1 < 8.
+    e = _mod(c2 + (c1 >> 7), m, mu)
     return c0 + ((c1 & 0x7F) << 7) + e * t14
 
 

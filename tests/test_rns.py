@@ -184,16 +184,43 @@ def test_pow_shared_various_exponents(system):
 
 
 def test_large_modulus_raises_and_engine_falls_back():
-    # The channel supply (1,149 primes in (rns.M_MIN, 2^14)) caps the RNS
-    # engine near 3741-bit keys for the mod-n^2 encrypt path. Bigger keys
+    # The channel supply (1,335 primes in (rns.M_MIN, 2^14)) caps the RNS
+    # engine near 4380-bit keys for the mod-n^2 encrypt path. Bigger keys
     # must fall back to the limb engine instead of crashing.
     import phe_tpu
 
-    n = (1 << 4095) | 1  # synthetic 4096-bit modulus (shape-only test)
+    n = (1 << 4607) | 1  # synthetic 4608-bit modulus (shape-only test)
     with pytest.raises(ValueError):
         rns.build_rns(n * n)
     pub = phe_tpu.PaillierPublicKey(n)
     assert pub.device_context().rns_state() is None
+
+
+def test_4096_bit_keys_ride_the_rns_engine():
+    # Round-4 extension: the 4099 channel floor brings 4096-bit keys onto
+    # the fast engine (k=624, 1,249 channels, min prime ~4877). Build the
+    # system for an 8192-bit modulus and pin a short-exponent ladder
+    # against Python pow — this exercises channels below 2^13 (the
+    # steps=3-everywhere Barrett regime).
+    rng = random.Random(4096)
+    N = rng.getrandbits(8192) | (1 << 8191) | 1
+    sys_ = rns.build_rns(N)
+    assert sys_.k == 624
+    m_min = int(np.asarray(sys_.m).min())
+    assert rns.M_MIN <= m_min < (1 << 13)
+    Lin = hl.num_limbs_for_bits(N.bit_length())
+    conv = rns.build_conversion(sys_, Lin)
+    xs = [rng.randrange(1, N) for _ in range(2)] + [N - 1]
+    e = rng.getrandbits(384) | 1
+    digits = rns.rns_pow_digits(e, 384, window=5)
+    rows = np.asarray(hl.ints_to_limbs(xs, Lin))
+    out = np.asarray(
+        rns.pow_shared_xla(rows, digits, conv, sys_, window=5)
+    )
+    for i, x in enumerate(xs):
+        got = hl.limbs_to_int(out[i])
+        assert got % N == pow(x, e, N)
+        assert got <= sys_.k * N + 1
 
 
 def test_default_keysize_rides_the_rns_engine():
