@@ -515,7 +515,7 @@ def rns_mont_mul(x, y, sys_):
     h = raw >> 14  # < 2^14
     l = raw & 0x3FFF
     # sigma over base A: (h 2^14 + l) c_sigma mod a, two 28-bit products
-    # summed < 2^29 -> one steps=3 Barrett (err < 2.88 + 2 + 1).
+    # summed < 2^29 -> one steps=3 Barrett (err < 3.997 + 2 + 1 < 8).
     sigma = _mod(
         h[..., :k] * sys_.sig2[:k] + l[..., :k] * sys_.sig1[:k],
         m[:k], mu[:k],
@@ -524,8 +524,8 @@ def rns_mont_mul(x, y, sys_):
     c0, c1, c2 = _block_matmul(sys_.w_ext1, _digits_i8(sigma))
     mj, muj, t14j = m[k:], mu[k:], sys_.t14[k:]
     qhat = _combine_mod(c0, c1, c2, mj, muj, t14j)  # [..., k+8]
-    # u~ on B u r u pads: three products < 2^28, sum < 3*2^28 < 2^30
-    # (err < 2.88 + 3 + 1 -> steps=3).
+    # u~ on B u r u pads: three products < 2^28, sum < m(2^15 + m) < 2^30
+    # (err < 3.997 + 2m/2^14 + m^2/2^28 + 1 <= 5.56 -> steps=3).
     u_br = _mod(
         h[..., k:] * sys_.d2[k:] + l[..., k:] * sys_.d1[k:]
         + qhat * sys_.e1[k:],
