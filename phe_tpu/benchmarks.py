@@ -154,6 +154,15 @@ def bench_scaling(keysize=1024, batch=2048, runs=3, emit=print):
     enc = EncryptedBatch.encrypt(pub, vals)
 
     n_dev = len(jax.devices())
+    # Self-describing rows: a forced-host-platform mesh time-shares the
+    # host cores, so its efficiencies measure harness correctness, not
+    # hardware scaling — consumers of the JSON must be able to tell.
+    virtual = jax.default_backend() != "tpu"
+    platform = {"virtual": virtual}
+    if virtual:
+        import os as _os
+
+        platform["physical_cores"] = _os.cpu_count()
     sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_dev]
     base_rate = None
     out = {}
@@ -169,7 +178,8 @@ def bench_scaling(keysize=1024, batch=2048, runs=3, emit=print):
         out[d] = {"elements_per_s": round(rate, 1),
                   "scaling_efficiency": round(eff, 3)}
         emit(json.dumps({"metric": "encrypted_sum_scaling", "devices": d,
-                         "keysize": keysize, "batch": batch, **out[d]}))
+                         "keysize": keysize, "batch": batch, **out[d],
+                         **platform}))
     return out
 
 

@@ -26,14 +26,15 @@ Algorithm (one Montgomery product, modulus N, radix M_A)
 ========================================================
 Channel sets: base A = primes a_1..a_k (product M_A), base B = b_1..b_k
 (product M_B), one redundant channel m_r; all distinct primes in
-(M_MIN, 2^14) with M_MIN = 5700 (see "Barrett channel reduction" — the
+(M_MIN, 2^14) with M_MIN = 4099 (see "Barrett channel reduction" — the
 floor below which the fixed conditional-subtract ladders stop covering
-the quotient error). The prime supply in (5700, 2^14) is 1,149 channels
-versus 872 in (2^13, 2^14): the wider window is what lets the engine
-cover the reference's default 3072-bit keysize (n^2 = 6144-bit modulus,
-913 channels) instead of capping near 2560-bit keys. Values are
-represented by canonical residues in **all** channels. Requirements:
-M_A >= 4kN and M_B >= 4kN; chain invariant x, y <= 2kN.
+the quotient error). That window supplies 1,335 primes, which is what
+lets the engine cover the reference's default 3072-bit keysize
+(n^2 = 6144-bit modulus, 913 channels) and 4096-bit keys (1,249
+channels), with the encrypt ceiling near 4,380-bit keys (History below
+traces the floor's two round-4 drops). Values are represented by
+canonical residues in **all** channels. Requirements: M_A >= 4kN and
+M_B >= 4kN; chain invariant x, y <= 2kN.
 
 1. t_c = x_c * y_c mod m_c                          (all channels)
 2. sigma_i = t_i * c_i mod a_i, with the folded constant
@@ -110,23 +111,25 @@ and the quotient error obeys
 
 The conditional-subtract ladder must cover r = x - q*m < err*m, i.e.
 err <= 2^steps. With the channel floor m >= M_MIN = 4099
-(2^14/m < 3.997 strictly, since m > 2^12), every call-site fits the
-steps=3 ladder (4m, 2m, m), with the per-site x bounds:
+(2^14/m <= 2^14/4099 < 3.998), every call-site fits the steps=3 ladder
+(4m, 2m, m), with the per-site x bounds:
 
 * sigma: x = h*sig2 + l*sig1 < 2*2^14*m ->
-  err < 3.997 + 2m/2^14 + 1 <= 3.997 + 2 + 1 = 7.00;
+  err < 3.998 + 2m/2^14 + 1 <= 3.998 + 2 + 1 < 7.00;
 * fused u~: x = h*d2 + l*d1 + q^*e1 < m*(2^15 + m) ->
-  err < 3.997 + 2m/2^14 + m^2/2^28 + 1 <= 5.56 (worst at m = 4099;
-  the three terms anti-correlate with m, max over the range < 7);
+  err < 3.998 + 2m/2^14 + m^2/2^28 + 1, whose three m-dependent terms
+  anti-correlate; the max over m in [4099, 2^14) stays < 7
+  (exhaustive check: the realised quotient error never exceeds 5);
 * digit-combine carry x = c2 + (c1>>7) < T*16255, T <= 2000 terms ->
-  err < 3.997 + 0.13 + 1 = 5.13;
+  err < 3.998 + 0.13 + 1 = 5.13;
 * combine outputs + additive folds (q^ reduce, S, u_a): x < 2^28.3 ->
-  err < 3.997 + 1.3 + 1 = 6.3.
+  err < 3.998 + 1.3 + 1 = 6.3.
 
-uint32 safety: mu <= floor(2^28/4099) = 65487; the largest quotient
-operand x>>14 is the fused-u~ case, < 2m + m^2/2^14 <= 49151, and x>>14
-anti-correlates with mu (big mu needs small m, which bounds x), so the
-product peaks near m = 4099 at ~9223 * 65487 < 2^30 — no overflow.
+uint32 safety: the largest quotient product (x>>14)*mu is the fused-u~
+case: x>>14 <= 2m + m^2/2^14 and mu <= 2^28/m give
+(x>>14)*mu <= 2^29 + m*2^14 < 2^29 + 2^28 < 2^30 over the whole
+channel range (the bound is tightest in m near 2^14, where it reaches
+~8.1e8) — no overflow.
 
 History: round 4 first lowered the floor from 2^13 to 5701 (keeping the
 original steps=2 short ladders on residue products), then to 4099 by

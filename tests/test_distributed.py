@@ -26,7 +26,9 @@ def _free_port():
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(600)
+# Hang guard: the p.communicate(timeout=540) below kills a stuck run —
+# no pytest-timeout dependency needed (the plugin isn't installed; its
+# mark would be a silent no-op).
 def test_two_process_ring_allreduce():
     port = _free_port()
     env = {
