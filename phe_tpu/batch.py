@@ -97,24 +97,90 @@ def _digits_rows(exponents, bits, window=DEFAULT_WINDOW, pad_rows=None,
     a fully vectorised numpy path; larger ones fall back per element.
     """
     bits = _bucket_bits(max(bits, 1), window)
-    exponents = list(exponents)
-    if pad_rows is not None and len(exponents) < pad_rows:
-        exponents += [pad_value] * (pad_rows - len(exponents))
     n_windows = -(-bits // window)
-    small = [e for e in exponents if 0 <= e < (1 << 63)]
-    if len(small) == len(exponents) and (n_windows - 1) * window < 64:
-        arr = np.array(exponents, dtype=np.uint64)
+
+    def windows_of(arr):
         shifts = np.arange(n_windows - 1, -1, -1, dtype=np.uint64) * np.uint64(
             window
         )
         mask = np.uint64((1 << window) - 1)
         return ((arr[:, None] >> shifts[None, :]) & mask).astype(np.int32)
+
+    if (
+        isinstance(exponents, np.ndarray)
+        and exponents.dtype == np.int64
+        and (n_windows - 1) * window < 64
+    ):
+        # Fully-vectorized route for prepared non-negative int64 arrays
+        # (the _signed_mantissas_fast prologue): no per-element Python.
+        arr = exponents.astype(np.uint64)
+        if pad_rows is not None and len(arr) < pad_rows:
+            arr = np.concatenate(
+                [arr, np.full(pad_rows - len(arr), pad_value, np.uint64)]
+            )
+        return windows_of(arr)
+    exponents = list(exponents)
+    if pad_rows is not None and len(exponents) < pad_rows:
+        exponents += [pad_value] * (pad_rows - len(exponents))
+    small = [e for e in exponents if 0 <= e < (1 << 63)]
+    if len(small) == len(exponents) and (n_windows - 1) * window < 64:
+        return windows_of(np.array(exponents, dtype=np.uint64))
     return np.stack([mg.exponent_digits(e, bits, window) for e in exponents])
 
 
 def _pad_list(values, target, fill):
     values = list(values)
     return values + [fill] * (target - len(values))
+
+
+def _signed_mantissas_fast(public_key, scalars):
+    """Vectorized (|mantissa| int64[B], neg uint8[B], exponent int64[B]).
+
+    The no-bigint fast path for the scalar-multiply prologue: encoding a
+    scalar and splitting it through the signed windows
+    (EncodedNumber.encode_many + _signed_exponents) materialises an
+    n-sized residue per negative element only to map it straight back to
+    (n - residue) — ~30 ms of host bigint work per 8192-element batch
+    that the streaming dispatch pipeline cannot hide. For finite floats
+    under BASE=16 the whole computation is exact in IEEE-754: the
+    exponent comes from frexp, the mantissa from one exact power-of-two
+    ldexp, and np.rint is the same round-half-even as round() — so
+    |mantissa| and the sign can be produced directly, bit-identical to
+    the exact path. Homogeneous int64-range int lists reduce to
+    abs/sign. Returns None whenever any element needs the exact rational
+    path (mixed/other types, non-finite, window overflow at toy key
+    sizes) — callers then fall back, and the exact path raises the
+    reference-shaped errors.
+    """
+    if EncodedNumber.BASE != 16 or len(scalars) == 0:
+        return None
+    max_int = public_key.max_int
+    if all(type(s) is float for s in scalars):
+        a = np.asarray(scalars, dtype=np.float64)
+        if not np.isfinite(a).all():
+            return None
+        _, e2 = np.frexp(a)
+        exps = np.floor_divide(e2.astype(np.int64) - 53, 4)
+        mant = np.rint(np.ldexp(a, -4 * exps))  # |mant| < 2^57: exact
+        if max_int < (1 << 57) and (np.abs(mant) > float(max_int)).any():
+            return None
+        return (
+            np.abs(mant).astype(np.int64),
+            (mant < 0).astype(np.uint8),
+            exps,
+        )
+    if all(type(s) in (int, bool) for s in scalars):
+        try:
+            a = np.asarray(scalars, dtype=np.int64)
+        except OverflowError:
+            return None
+        if a.min() == np.iinfo(np.int64).min:  # |min| overflows abs()
+            return None
+        k = np.abs(a)
+        if max_int < (1 << 63) and (k > max_int).any():
+            return None
+        return k, (a < 0).astype(np.uint8), np.zeros(len(a), np.int64)
+    return None
 
 
 # -- fused device programs ---------------------------------------------------
@@ -971,6 +1037,21 @@ class PrivateDeviceContext:
             self.ctx_q, self.red_q, self.dq_digits,
         )
 
+    def raw_decrypt_launch(self, ct_mont):
+        """Dispatch the fused decrypt program; return the device handle.
+
+        The handle is [Bp, nbytes] packed plaintext bytes, still on
+        device — callers fetch when ready (streaming decrypt keeps
+        several of these in flight).
+        """
+        st = self.rns_state() if _use_rns() else None
+        if st is not None:
+            half_p, half_q = st
+            return _decrypt_rns_dev(
+                ct_mont, self.pub_ctx.ctx, self.consts, half_p, half_q
+            )
+        return _decrypt_dev(ct_mont, self.pub_ctx.ctx, self.consts)
+
     def raw_decrypt_batch(self, ct_mont):
         """Exact plaintext residues mod n for a Montgomery ciphertext batch.
 
@@ -978,15 +1059,7 @@ class PrivateDeviceContext:
         _decrypt_dev / _decrypt_rns_dev); the host only rebuilds ints
         from packed bytes.
         """
-        st = self.rns_state() if _use_rns() else None
-        if st is not None:
-            half_p, half_q = st
-            m = _decrypt_rns_dev(
-                ct_mont, self.pub_ctx.ctx, self.consts, half_p, half_q
-            )
-        else:
-            m = _decrypt_dev(ct_mont, self.pub_ctx.ctx, self.consts)
-        return _bytes_to_ints(jax.device_get(m))
+        return _bytes_to_ints(jax.device_get(self.raw_decrypt_launch(ct_mont)))
 
     def raw_decrypt_compact(self, ct_mont):
         """(compact decode rows, full packed bytes) — see _decode_compact.
@@ -1133,6 +1206,19 @@ class EncryptedBatch:
         export was the single biggest non-kernel cost over a tunnelled
         TPU. Custom Encoding classes take the exact bigint path.
         """
+        return self.decrypt_async(private_key, Encoding)()
+
+    def decrypt_async(self, private_key, Encoding=None):
+        """Launch the device half of decryption NOW; return a finisher.
+
+        The returned zero-arg callable blocks on the device result and
+        completes the host decode. Splitting the phases lets a serving
+        loop keep several batches in flight: device programs for batches
+        i+1, i+2, ... queue (dispatch is asynchronous) while the host
+        finishes batch i — the decrypt kernels never idle waiting on
+        host decode or result transfer. ``decrypt`` is exactly
+        ``decrypt_async(...)()``.
+        """
         if private_key.public_key != self.public_key:
             raise ValueError(
                 "encrypted batch was encrypted against a different key!"
@@ -1141,14 +1227,22 @@ class EncryptedBatch:
             Encoding = EncodedNumber
         pdc = private_key.device_context()
         if Encoding is EncodedNumber and EncodedNumber.BASE == 16:
-            return self._decrypt_fast(pdc, Encoding)
-        residues = pdc.raw_decrypt_batch(self.mont)
-        return [
-            Encoding(self.public_key, m, int(e)).decode()
-            for m, e in zip(residues, self.exponents)
-        ]
+            compact, full = pdc.raw_decrypt_compact(self.mont)
+            return functools.partial(
+                self._finish_decrypt_fast, compact, full, Encoding
+            )
+        handle = pdc.raw_decrypt_launch(self.mont)
 
-    def _decrypt_fast(self, pdc, Encoding):
+        def finish():
+            residues = _bytes_to_ints(jax.device_get(handle))
+            return [
+                Encoding(self.public_key, m, int(e)).decode()
+                for m, e in zip(residues, self.exponents)
+            ]
+
+        return finish
+
+    def _finish_decrypt_fast(self, compact, full, Encoding):
         """Vectorised decode from the compact device rows.
 
         Exactness (vs phe/encoding.py:201-233's int/int division): BASE=16
@@ -1162,7 +1256,6 @@ class EncryptedBatch:
         >= 2^64 fall back to the exact bigint decode (transferring the
         full residues only then).
         """
-        compact, full = pdc.raw_decrypt_compact(self.mont)
         B = len(self)
         c = np.asarray(jax.device_get(compact))[:B]
         flags = c[:, 2]
@@ -1379,14 +1472,25 @@ class EncryptedBatch:
         """
         scalars = _as_list(scalars, len(self))
         pub = self.public_key
-        encodings = EncodedNumber.encode_many(pub, scalars)
-        ks, neg = self._signed_exponents(encodings)
+        fast = _signed_mantissas_fast(pub, scalars)
+        if fast is not None:
+            ks, neg, sc_exps = fast
+            any_neg = bool(neg.any())
+            bits = max(int(ks.max()).bit_length(), 1)
+        else:
+            encodings = EncodedNumber.encode_many(pub, scalars)
+            ks, neg = self._signed_exponents(encodings)
+            sc_exps = np.array(
+                [e.exponent for e in encodings], dtype=np.int64
+            )
+            any_neg = any(neg)
+            bits = max(max(k.bit_length() for k in ks), 1)
+            ks = np.asarray(ks, dtype=np.int64) if bits < 63 else ks
         dc = self._dc
-        bits = max(max(k.bit_length() for k in ks), 1)
         digits = jnp.asarray(
             _digits_rows(ks, bits, pad_rows=self.mont.shape[0])
         )
-        if any(neg):
+        if any_neg:
             mask = jnp.asarray(
                 np.pad(np.asarray(neg, dtype=np.uint32),
                        (0, self.mont.shape[0] - len(neg)))
@@ -1397,9 +1501,7 @@ class EncryptedBatch:
             )
         else:
             mont = _pow_elems_dev(self.mont, digits, dc.ctx, dc.rstate())
-        exponents = self.exponents + np.array(
-            [e.exponent for e in encodings], dtype=np.int64
-        )
+        exponents = self.exponents + sc_exps
         return EncryptedBatch(self.public_key, mont, exponents, False)
 
     def sum(self):

@@ -312,3 +312,39 @@ class TestAltBase:
         batch = EncryptedBatch.encrypt(pub, encodings)
         out = batch.decrypt(priv, Encoding=Base64Number)
         assert out == vals
+
+
+class TestStreamingDecrypt:
+    def test_decrypt_async_matches_decrypt(self, keypair):
+        # decrypt() is decrypt_async()(); several in-flight finishers
+        # must drain correctly in any order (the bench/serving pattern).
+        pub, priv = keypair
+        batches = [
+            EncryptedBatch.encrypt(pub, [float(i), -2.5 * i, i + 0.0625])
+            for i in range(1, 4)
+        ]
+        finishers = [b.decrypt_async(priv) for b in batches]
+        outs = [f() for f in reversed(finishers)]
+        assert outs == [
+            [float(i), -2.5 * i, i + 0.0625] for i in reversed(range(1, 4))
+        ]
+
+    def test_decrypt_async_exact_path(self, keypair):
+        # Custom Encoding classes ride the exact bigint finisher.
+        pub, priv = keypair
+
+        class Base64Encoded(EncodedNumber):
+            BASE = 64
+            LOG2_BASE = 6
+
+        enc = [Base64Encoded.encode(pub, v) for v in [1.5, -300.25, 1e-4]]
+        ct = EncryptedBatch.encrypt(pub, enc)
+        fin = ct.decrypt_async(priv, Encoding=Base64Encoded)
+        assert fin() == [1.5, -300.25, 1e-4]
+
+    def test_decrypt_async_wrong_key_raises(self, keypair):
+        pub, priv = keypair
+        pub2, priv2 = phe_tpu.generate_paillier_keypair(n_length=256)
+        ct = EncryptedBatch.encrypt(pub, [1.0])
+        with pytest.raises(ValueError):
+            ct.decrypt_async(priv2)
