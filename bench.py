@@ -39,17 +39,20 @@ BASELINES = {
     "mul": 297.0,
 }
 
-# Per-op batch sizes (see scripts/sweep_b.py): large enough that the
-# kernel dominates per-dispatch fixed cost, small enough to keep every
-# compiled program in the proven shape set. mul stays at 8192 per
-# dispatch — the 32768-element one-hot vec-ladder program hit a
-# pathological Mosaic/XLA compile on the tunnelled worker in round 4 —
-# and recovers its dispatch amortisation from streaming instead.
+# Per-op batch sizes (scripts/campaign_r05.py sweep): the knee where the
+# per-dispatch fixed cost (~26 ms execute RPC over the tunnel, which
+# does NOT overlap across dispatches) is amortised and the device
+# program dominates. Round 4 capped mul at 8192 blaming a "vec-ladder
+# compile pathology" at 32768; round 5's triage
+# (scripts/mul_compile_triage.py) showed the ladder compiles in seconds
+# at any batch — the real blowup was inverse_mont's associative_scan
+# lowering to O(log B) distinct-shaped Pallas mont_mul compiles, now
+# chunk-pinned (batch.EncryptedBatch._INVERSE_CHUNK).
 SIZES = {
-    "encrypt": 8192,
+    "encrypt": 16384,
     "decrypt": 16384,
-    "add": 131072,
-    "mul": 8192,
+    "add": 524288,
+    "mul": 65536,
 }
 STREAMS = 4  # batches in flight per timed run
 

@@ -1419,26 +1419,43 @@ class EncryptedBatch:
             )
         return EncryptedBatch(self.public_key, mont, target, False)
 
+    # Batch-inversion scan chunk. The associative_scan program lowers to
+    # O(log B) Pallas mont_mul instantiations of DISTINCT shapes, each a
+    # separate Mosaic kernel compile — at B = 32768 that is a
+    # multi-ten-minute compile queue (the round-4 "vec-ladder compile
+    # pathology" root cause; the ladder itself compiles in seconds at any
+    # batch). Chunking pins the scan to one compiled shape; the price is
+    # one extra host inversion per chunk (~100 us each).
+    _INVERSE_CHUNK = 8192
+
     def inverse_mont(self):
         """Montgomery-domain modular inverses c_i^-1 mod n^2, cached.
 
         Montgomery's batch-inversion identity: two log-depth product
         scans on device plus ONE host bigint inversion of the running
-        product serve the whole batch (the reference pays one
+        product per chunk serve the whole batch (the reference pays one
         extended-Euclid invert per negative scalar, phe/util.py:85-103).
         Cached on the batch: every subsequent negative-scalar multiply /
         matvec is a single fused device program.
         """
         if self._inv_mont is None:
             dc = self._dc
-            excl, total = _inverse_scan_dev(self.mont, dc.ctx)
-            total_int = dc.export_ints(total[None])[0]
             from phe_tpu.utils.ntheory import invert
 
-            tinv = dc.pack_mod_nsquare(
-                [invert(total_int, self.public_key.nsquare)]
-            )[0]
-            self._inv_mont = _finish_inverse_dev(excl, tinv, dc.ctx)
+            nsq = self.public_key.nsquare
+            chunks = []
+            rows = self.mont.shape[0]
+            step = self._INVERSE_CHUNK
+            for lo in range(0, rows, step):
+                part = self.mont[lo : lo + step]
+                excl, total = _inverse_scan_dev(part, dc.ctx)
+                total_int = dc.export_ints(total[None])[0]
+                tinv = dc.pack_mod_nsquare([invert(total_int, nsq)])[0]
+                chunks.append(_finish_inverse_dev(excl, tinv, dc.ctx))
+            self._inv_mont = (
+                chunks[0] if len(chunks) == 1
+                else jnp.concatenate(chunks, axis=0)
+            )
         return self._inv_mont
 
     def _signed_exponents(self, encodings):

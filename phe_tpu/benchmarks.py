@@ -24,11 +24,17 @@ import numpy as np
 CPYTHON_BASELINE = {
     # op -> {keysize: single-core ops/s}. 1024/2048: BASELINE.md measured
     # table; 3072 measured in round 4 against the reference as-is in this
-    # environment (keygen 4.77 s/pair; same 40/4000/200-op methodology).
-    "encrypt": {1024: 55.5, 2048: 9.2, 3072: 3.51},
-    "decrypt": {1024: 179.0, 2048: 32.7, 3072: 13.16},
-    "add_enc_enc": {1024: 39614.0, 2048: 22218.0, 3072: 7622.0},
-    "mul_enc_scalar": {1024: 386.0, 2048: 297.0, 3072: 157.6},
+    # environment (keygen 4.77 s/pair; same 40/4000/200-op methodology);
+    # 4096/8192 measured round 5 via scripts/ref_baseline.py (reference
+    # ops on a phe_tpu-generated keypair — op speed is independent of how
+    # p, q were found).
+    "encrypt": {1024: 55.5, 2048: 9.2, 3072: 3.51, 4096: 1.48, 8192: 0.209},
+    "decrypt": {1024: 179.0, 2048: 32.7, 3072: 13.16, 4096: 5.67,
+                8192: 0.74},
+    "add_enc_enc": {1024: 39614.0, 2048: 22218.0, 3072: 7622.0,
+                    4096: 6849.0, 8192: 1796.0},
+    "mul_enc_scalar": {1024: 386.0, 2048: 297.0, 3072: 157.6, 4096: 67.4,
+                       8192: 17.4},
 }
 
 

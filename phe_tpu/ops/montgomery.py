@@ -500,6 +500,11 @@ class ReduceTable(NamedTuple):
     """Constants for reducing wide values mod M: powers beta^(L+j) mod M."""
 
     powers: jnp.ndarray  # [K, L] canonical limbs of 2**(14*(L+j)) mod M
+    # int8 [3K, 2(L+1)] digit matrix for the MXU fold: rows are the lo-7 |
+    # hi-7 digit blocks of the limbs of (2**w * (beta^(L+j) mod M)) for
+    # w in (0, 6, 12), j-major within each w plane — matching the 6-bit
+    # input digit planes mod_reduce feeds it.
+    digit_w: jnp.ndarray
 
     @property
     def extra_limbs(self):
@@ -516,7 +521,21 @@ def build_reduce_table(modulus, ctx, in_limbs):
         hl.int_to_limbs(pow(1 << lm.LIMB_BITS, L + j, modulus), L)
         for j in range(K)
     ]
-    return ReduceTable(powers=jnp.asarray(np.stack(rows)))
+    # MXU fold rows: the exact integer 2**w * (beta^(L+j) mod M), whose
+    # limbs (< 2**14, width L+1 — the w=12 shift crosses one limb) split
+    # into two 7-bit int8 blocks.
+    wrows = np.stack([
+        hl.int_to_limbs(pow(1 << lm.LIMB_BITS, L + j, modulus) << w, L + 1)
+        for w in (0, 6, 12)
+        for j in range(K)
+    ]).astype(np.uint32)
+    digit_w = np.concatenate(
+        [(wrows & 0x7F).astype(np.int8), (wrows >> 7).astype(np.int8)],
+        axis=1,
+    )
+    return ReduceTable(
+        powers=jnp.asarray(np.stack(rows)), digit_w=jnp.asarray(digit_w)
+    )
 
 
 def mod_reduce(x, ctx, table):
@@ -526,6 +545,19 @@ def mod_reduce(x, ctx, table):
     beta^(L+j) mod M powers, twice (the second fold sees at most two
     over-limbs). The result is small enough for to_mont (value < R, with
     product against R^2 mod M staying under 16*M*R).
+
+    The first (wide) fold rides the MXU as an int8 digit matmul: the
+    over-limbs (<= 2**16, redundant headroom) split into three 6-bit
+    planes d0,d1,d2 (< 64: int8-safe), and the table carries the exact
+    shifted row integers 2**w * (beta^(L+j) mod M) as two 7-bit limb
+    blocks, so sum_j high_j * powers[j] = dig[B,3K] @ rows[3K,2(L+1)] —
+    one matmul instead of three uint32 VPU contractions (which cost
+    ~15 ms per decrypt half at B=8192; the matmul is ~0.4M MACs/elem).
+    Exactness: output planes c0,c1 sum 3K <= 1320 terms of 63*127
+    < 2**23.4 (int32-exact); accumulator slots are
+    low + c0 + (c1 << 7) < 2**16 + 2**23.4 + 2**30.4 < 2**31, inside
+    carry_fix's soundness bound. Narrow folds (K <= 2 after the first
+    pass) keep the uint32 einsum path.
     """
     L = ctx.num_limbs
 
@@ -541,6 +573,23 @@ def mod_reduce(x, ctx, table):
                 "(max 1023); reduce in stages" % K
             )
         nbatch = v.ndim - 1
+        if 3 * K == table.digit_w.shape[0] and K >= 8:
+            dig = jnp.concatenate(
+                [
+                    (high & 0x3F).astype(jnp.int8),
+                    ((high >> 6) & 0x3F).astype(jnp.int8),
+                    (high >> 12).astype(jnp.int8),
+                ],
+                axis=-1,
+            )  # [..., 3K], every digit < 64
+            out = jax.lax.dot_general(
+                dig, table.digit_w,
+                (((dig.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.uint32)  # [..., 2(L+1)]: lo | hi planes < 2**23.4
+            c0, c1 = out[..., : L + 1], out[..., L + 1 :]
+            acc = jnp.pad(low, [(0, 0)] * nbatch + [(0, 1)])
+            return lm.carry_fix(acc + c0 + (c1 << 7))  # slots < 2**31
         acc = jnp.pad(low, [(0, 0)] * nbatch + [(0, 1)])  # [..., L+1]
         # sum_j high_j * powers[j] as three static uint32 contractions —
         # high split into 6-bit parts so each product is < 2**21 and a

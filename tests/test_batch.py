@@ -348,3 +348,28 @@ class TestStreamingDecrypt:
         ct = EncryptedBatch.encrypt(pub, [1.0])
         with pytest.raises(ValueError):
             ct.decrypt_async(priv2)
+
+
+class TestChunkedInverse:
+    def test_chunked_batch_inversion(self, keypair, monkeypatch):
+        # The batch-inversion scan runs per fixed-size chunk (compile-
+        # shape pinning); force multi-chunk at a tiny size and check the
+        # negative-scalar path still matches plain arithmetic and the
+        # single-chunk result.
+        pub, priv = keypair
+        vals = [float(v) for v in range(1, 11)]
+        scal = [(-1.0) ** i * (i + 0.5) for i in range(10)]
+        ct = EncryptedBatch.encrypt(pub, vals)
+        monkeypatch.setattr(EncryptedBatch, "_INVERSE_CHUNK", 4)
+        got = (ct * scal).decrypt(priv)
+        assert got == [a * b for a, b in zip(vals, scal)]
+        inv_chunked = np.asarray(ct.inverse_mont())
+        ct2 = EncryptedBatch.encrypt(
+            pub, vals, r_values=[3] * 10
+        )
+        # independent single-chunk reference on identical ciphertexts
+        monkeypatch.setattr(EncryptedBatch, "_INVERSE_CHUNK", 1 << 20)
+        ct3 = EncryptedBatch.encrypt(pub, vals, r_values=[3] * 10)
+        a = np.asarray(ct2.inverse_mont())
+        b = np.asarray(ct3.inverse_mont())
+        assert (a == b).all()

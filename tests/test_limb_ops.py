@@ -176,3 +176,32 @@ class TestModReduce:
             mg.from_mont(mg.to_mont(reduced, ctx), ctx), ctx
         )
         assert unpack(back) == [x % modulus for x in xs]
+
+    def test_reduce_redundant_limbs_mxu_fold(self):
+        # The decrypt pipeline feeds mod_reduce REDUNDANT limbs (<= 2**16
+        # headroom); the MXU digit fold splits them into three 6-bit
+        # planes, so the top plane carries up to 5 bits — pin exactness
+        # at the extreme: every limb at the 2**16 ceiling, plus random
+        # redundant rows.
+        modulus = getprimeover(128) * getprimeover(128)
+        ctx = mg.build_context(modulus)
+        Lx = hl.num_limbs_for_bits(1024)
+        assert Lx - ctx.num_limbs >= 8  # the fold takes the MXU path
+        rows = np.vstack([
+            np.full((1, Lx), 1 << 16, dtype=np.uint32),
+            np.asarray(
+                [[RNG.randrange(0, (1 << 16) + 1) for _ in range(Lx)]
+                 for _ in range(5)],
+                dtype=np.uint32,
+            ),
+        ])
+        values = [
+            sum(int(l) << (14 * j) for j, l in enumerate(row))
+            for row in rows
+        ]
+        table = mg.build_reduce_table(modulus, ctx, Lx)
+        reduced = mg.mod_reduce(jnp.asarray(rows), ctx, table)
+        back = mg.export_canonical(
+            mg.from_mont(mg.to_mont(reduced, ctx), ctx), ctx
+        )
+        assert unpack(back) == [v % modulus for v in values]
