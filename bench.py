@@ -180,7 +180,7 @@ def main():
         # the tunnelled TPU transport.)
         np.asarray(jax.device_get(batch.mont[0]))
 
-    def stream(launch, finish, batch, runs=3, warmup=2):
+    def stream(launch, finish, batch, runs=5, warmup=2):
         """Steady-state throughput: STREAMS launches, then drain in order.
 
         launch() does one batch's host work and dispatches its device

@@ -99,12 +99,19 @@ def _digits_rows(exponents, bits, window=DEFAULT_WINDOW, pad_rows=None,
     bits = _bucket_bits(max(bits, 1), window)
     n_windows = -(-bits // window)
 
+    # Digit schedules ship as int8 when they fit (every window <= 6):
+    # the [B, n_windows] array is the largest per-dispatch transfer of
+    # the scalar-multiply path (4 MB of int32 at B = 65536), and the
+    # tunnelled host->device link serialises with the execute RPC.
+    # Device programs cast back to int32 on entry (_pow_elems).
+    out_dtype = np.int8 if window <= 6 else np.int32
+
     def windows_of(arr):
         shifts = np.arange(n_windows - 1, -1, -1, dtype=np.uint64) * np.uint64(
             window
         )
         mask = np.uint64((1 << window) - 1)
-        return ((arr[:, None] >> shifts[None, :]) & mask).astype(np.int32)
+        return ((arr[:, None] >> shifts[None, :]) & mask).astype(out_dtype)
 
     if (
         isinstance(exponents, np.ndarray)
@@ -125,7 +132,9 @@ def _digits_rows(exponents, bits, window=DEFAULT_WINDOW, pad_rows=None,
     small = [e for e in exponents if 0 <= e < (1 << 63)]
     if len(small) == len(exponents) and (n_windows - 1) * window < 64:
         return windows_of(np.array(exponents, dtype=np.uint64))
-    return np.stack([mg.exponent_digits(e, bits, window) for e in exponents])
+    return np.stack(
+        [mg.exponent_digits(e, bits, window) for e in exponents]
+    ).astype(out_dtype)
 
 
 def _pad_list(values, target, fill):
@@ -301,7 +310,11 @@ def _pow_elems(mont, digits, ctx, rstate):
     from_mont/to_mont pair cost ~48 ms per 8192-element batch, 3x the
     ladder itself). reduce_excess absorbs the ladder's +jN offset, so
     outputs are canonical < M; chains and exports hold as before.
+
+    Digit schedules may arrive as int8 (the transfer-thin wire form,
+    _digits_rows) — widened here, inside the fused program, for free.
     """
+    digits = digits.astype(jnp.int32)
     if rstate is None:
         return mg.mont_pow(mont, digits, ctx)
     lead = mont.shape[:-1]
@@ -877,7 +890,9 @@ class PublicDeviceContext:
             )[0]
         count = mont.shape[0]
         a = [secrets.randbits(exponent_bits) for _ in range(count)]
-        digits = jnp.asarray(_digits_rows(a, exponent_bits))
+        digits = jnp.asarray(
+            _digits_rows(a, exponent_bits).astype(np.int32)
+        )
         base = jnp.broadcast_to(self._h_mont, (count, self.L))
         obf = mg.mont_pow(base, digits, self.ctx)
         return _mul_mont_dev(mont, obf, self.ctx)

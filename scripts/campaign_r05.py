@@ -81,7 +81,7 @@ def main():
             report("add", B, lambda: stream(lambda: ct + ct2, sync, B))
 
     if "mul" in ops:
-        for B in (32768, 65536):
+        for B in (65536, 131072):
             vals = [float(v) for v in rng.uniform(-1e6, 1e6, B)]
             ct = EncryptedBatch.encrypt(pub, vals)
             sync(ct)
