@@ -303,6 +303,10 @@ def mont_pow_shared_cols(base_cols, digits, ctx, window=4, tb=LANES):
         functools.partial(_pow_kernel, window=window, mxu=mxu),
         out_shape=jax.ShapeDtypeStruct((L, Bp), jnp.uint32),
         grid_spec=grid_spec,
+        # The window table is 2^w * L * tb * 4 bytes of scratch — 19 MB
+        # at the 8192-bit-key geometry (L=1176, window 5), past Mosaic's
+        # default 16 MB scoped-VMEM ceiling; raise it as pallas_rns does.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
         interpret=_interpret(),
     )(jnp.asarray(digits, jnp.int32), *inputs)
     return out[:, :B]
@@ -378,6 +382,10 @@ def mont_mul_cols(a_cols, b_cols, ctx, tb=LANES):
         in_specs=in_specs,
         out_specs=pl.BlockSpec((L, tb), lambda i: (0, i)),
         scratch_shapes=scratch,
+        # Raised scoped-VMEM ceiling: big-key geometries (L ~ 1176 at
+        # 8192-bit keys) exceed the 16 MB default with the MXU REDC
+        # matrices (and the window table, for the vec-pow kernel).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
         interpret=_interpret(),
     )(*inputs)
     return out[:, :B]
@@ -430,6 +438,10 @@ def mont_mul_const_cols(a_cols, b_limbs, ctx, tb=LANES):
         in_specs=in_specs,
         out_specs=pl.BlockSpec((L, tb), lambda i: (0, i)),
         scratch_shapes=scratch,
+        # Raised scoped-VMEM ceiling: big-key geometries (L ~ 1176 at
+        # 8192-bit keys) exceed the 16 MB default with the MXU REDC
+        # matrices (and the window table, for the vec-pow kernel).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
         interpret=_interpret(),
     )(*inputs)
     return out[:, :B]
@@ -562,6 +574,10 @@ def mont_pow_cols(base_cols, digits_cols, ctx, window=4, tb=LANES):
         in_specs=in_specs,
         out_specs=pl.BlockSpec((L, tb), lambda i: (0, i)),
         scratch_shapes=scratch,
+        # Raised scoped-VMEM ceiling: big-key geometries (L ~ 1176 at
+        # 8192-bit keys) exceed the 16 MB default with the MXU REDC
+        # matrices (and the window table, for the vec-pow kernel).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
         interpret=_interpret(),
     )(*inputs)
     return out[:, :B]
