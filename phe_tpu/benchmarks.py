@@ -57,7 +57,15 @@ def _sync(b):
     return b
 
 
-def bench_key_size(keysize, batch, runs=3, emit=print):
+def bench_key_size(keysize, batch, runs=3, emit=print, streams=1):
+    """Per-op suite at one key size.
+
+    streams=1 (default) is single-dispatch latency methodology: each
+    timed call hard-syncs before the next — the per-dispatch number.
+    streams>1 is bench.py's steady-state streamed throughput: that many
+    batches in flight, the wall clock charging all host work; the JSON
+    rows carry the streams count either way so artifacts self-describe.
+    """
     import phe_tpu
     from phe_tpu.batch import EncryptedBatch
 
@@ -71,22 +79,30 @@ def bench_key_size(keysize, batch, runs=3, emit=print):
 
     results = {"keygen": {"value": round(1.0 / keygen_s, 3), "unit": "keypairs/s"}}
 
-    def run(op, fn, unit="ops/s", per=batch):
-        fn()  # warmup: compile + constant setup
-        dt = _time_op(fn, runs)
+    def run(op, launch, finish=_sync, unit="ops/s", per=batch):
+        finish(launch())  # warmup: compile + constant setup
+        if streams > 1:
+            def fn():
+                handles = [launch() for _ in range(streams)]
+                for h in handles:
+                    finish(h)
+            dt = _time_op(fn, runs) / streams
+        else:
+            dt = _time_op(lambda: finish(launch()), runs)
         ops = per / dt
         base = CPYTHON_BASELINE.get(op, {}).get(keysize)
         results[op] = {
             "value": round(ops, 2),
             "unit": unit,
             "vs_baseline": round(ops / base, 2) if base else None,
+            "streams": streams,
         }
 
     enc = EncryptedBatch.encrypt(pub, vals)
     enc2 = EncryptedBatch.encrypt(pub, scalars)
 
-    run("encrypt", lambda: _sync(EncryptedBatch.encrypt(pub, vals)))
-    run("decrypt", lambda: enc.decrypt(priv))
+    run("encrypt", lambda: EncryptedBatch.encrypt(pub, vals))
+    run("decrypt", lambda: enc.decrypt_async(priv), finish=lambda f: f())
 
     # Roofline accounting: achieved fraction of the binding unit's peak,
     # under the cost model of whichever engine actually ran.
@@ -116,10 +132,10 @@ def bench_key_size(keysize, batch, runs=3, emit=print):
     results["decrypt"]["speed_of_light"] = profiling.report(
         "decrypt", results["decrypt"]["value"], dec_cost
     )["speed_of_light_fraction"]
-    run("add_enc_enc", lambda: _sync(enc + enc2))
-    run("add_enc_scalar", lambda: _sync(enc + scalars))
-    run("add_enc_one", lambda: _sync(enc + [1.0] * batch))
-    run("mul_enc_scalar", lambda: _sync(enc * scalars))
+    run("add_enc_enc", lambda: enc + enc2)
+    run("add_enc_scalar", lambda: enc + scalars)
+    run("add_enc_one", lambda: enc + [1.0] * batch)
+    run("mul_enc_scalar", lambda: enc * scalars)
     results["add_enc_enc"]["speed_of_light"] = profiling.report(
         "add", results["add_enc_enc"]["value"], profiling.mont_mul_cost(dc.L)
     )["speed_of_light_fraction"]
@@ -132,7 +148,7 @@ def bench_key_size(keysize, batch, runs=3, emit=print):
     results["mul_enc_scalar"]["speed_of_light"] = profiling.report(
         "mul", results["mul_enc_scalar"]["value"], mul_cost
     )["speed_of_light_fraction"]
-    run("sum_batch", lambda: _sync(enc.sum()), unit="elements/s")
+    run("sum_batch", lambda: enc.sum(), unit="elements/s")
 
     for op, r in results.items():
         emit(json.dumps({"metric": op, "keysize": keysize, "batch": batch,
@@ -235,6 +251,10 @@ def main(argv=None):
                     help="comma-separated bit lengths")
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--stream", type=int, default=1, metavar="N",
+                    help="batches in flight per timed run (1 = "
+                         "single-dispatch latency methodology; bench.py "
+                         "uses 4 for steady-state throughput)")
     ap.add_argument("--scaling", action="store_true",
                     help="also run the mesh-scaling efficiency sweep")
     ap.add_argument("--mem", action="store_true",
@@ -244,7 +264,8 @@ def main(argv=None):
     key_sizes = [int(s) for s in args.key_sizes.split(",")]
     all_results = {}
     for ks in key_sizes:
-        all_results[ks] = bench_key_size(ks, args.batch, args.runs)
+        all_results[ks] = bench_key_size(ks, args.batch, args.runs,
+                                         streams=args.stream)
     if args.scaling:
         # Round-3 verdict fix: honour the CLI geometry instead of the
         # hardcoded defaults.
