@@ -509,23 +509,24 @@ def _pow_select_dev(mont, inv_mont, neg_mask, digits, ctx, rstate):
     return _pow_elems(base, digits, ctx, rstate)
 
 
-def _lfunction_half(xc, ctxh, pinv_hensel, h_limbs):
+def _lfunction_half(xc, ctxh, cm_pinv, h_limbs):
     """L(x, p) * h mod p for one CRT leg, from canonical x = c^(p-1) mod p^2.
 
     The L function is an exact Hensel division: (x-1)/p = (x-1) * p^-1
-    mod 2^(14*Lh), exact because the quotient is < p < 2^(14*Lh).
+    mod 2^(14*Lh), exact because the quotient is < p < 2^(14*Lh). The
+    constant multiply rides the MXU (mg.const_mul band matmul) — the
+    generic mul_low materialised a [B, Lh, Lh] outer product here,
+    ~10 ms per decrypt half at B=8192.
     """
     Lh = ctxh.num_limbs
     t = xc[..., :Lh]
     ones = jnp.full(t.shape, lm.LIMB_MASK, dtype=jnp.uint32)
     tm1 = lm.add(t, ones)  # == t - 1 (mod R_h), top carry dropped
-    # mul_low is exact only mod R_h; the redundant truncation can sit
+    # const_mul is exact only mod R_h; the redundant truncation can sit
     # one R_h above the true quotient, and the value is used mod p
     # next — normalize to canonical (< R_h) to pin it to exactly
     # (x-1)/p, which is < p < R_h.
-    lfun = lm.normalize(
-        lm.mul_low(tm1, jnp.broadcast_to(pinv_hensel, tm1.shape), Lh)
-    )
+    lfun = lm.normalize(mg.const_mul(tm1, cm_pinv))
     hm = mg.mont_mul(
         mg.to_mont(lfun, ctxh),
         jnp.broadcast_to(h_limbs, lfun.shape),
@@ -546,16 +547,16 @@ def _decrypt_residue_limb(ct_mont, pub_ctx, pk):
     """
     plain = mg.from_mont(ct_mont, pub_ctx)
     halves = []
-    for ctx2, red, ddig, ctxh, pinv_hensel, h_limbs in (
-        (pk.ctx_p, pk.red_p, pk.dp_digits, pk.ctx_hp, pk.pinv2_p, pk.hp_limbs),
-        (pk.ctx_q, pk.red_q, pk.dq_digits, pk.ctx_hq, pk.pinv2_q, pk.hq_limbs),
+    for ctx2, red, ddig, ctxh, cm_pinv, h_limbs in (
+        (pk.ctx_p, pk.red_p, pk.dp_digits, pk.ctx_hp, pk.cm_pinv_p, pk.hp_limbs),
+        (pk.ctx_q, pk.red_q, pk.dq_digits, pk.ctx_hq, pk.cm_pinv_q, pk.hq_limbs),
     ):
         x = mg.mod_reduce(plain, ctx2, red)
         powed = mg.mont_pow_shared(
             mg.to_mont(x, ctx2), ddig, ctx2, window=DECRYPT_WINDOW
         )
         xc = mg.export_canonical(mg.from_mont(powed, ctx2), ctx2)
-        halves.append(_lfunction_half(xc, ctxh, pinv_hensel, h_limbs))
+        halves.append(_lfunction_half(xc, ctxh, cm_pinv, h_limbs))
     return _crt_recombine(halves[0], halves[1], pk)
 
 
@@ -648,7 +649,9 @@ def _crt_recombine(mp, mq, pk):
         pk.ctx_hq,
     )
     # m = mp + p * u  (< p*q = n, exact), normalized to canonical limbs.
-    prod = lm.mul_full(u, jnp.broadcast_to(pk.p_limbs, u.shape))
+    # p is per-key constant: the full product is one MXU band matmul
+    # (out = 2*Lh covers p*u < p*q exactly; mg.const_mul).
+    prod = mg.const_mul(u, pk.cm_pfull)
     pad = prod.shape[-1] - mp.shape[-1]
     m = lm.add(prod, jnp.pad(mp, [(0, 0)] * (mp.ndim - 1) + [(0, pad)]))
     return lm.normalize(m)
@@ -670,11 +673,11 @@ def _decrypt_residue_rns(ct_mont, pub_ctx, pk, half_p, half_q):
     """
     plain = mg.from_mont(ct_mont, pub_ctx)
     halves = []
-    for ctx2, red, ddig, (rsys, conv, ers, red2), ctxh, pinv_hensel, h_limbs in (
+    for ctx2, red, ddig, (rsys, conv, ers, red2), ctxh, cm_pinv, h_limbs in (
         (pk.ctx_p, pk.red_p, pk.dp_digits, half_p, pk.ctx_hp,
-         pk.pinv2_p, pk.hp_limbs),
+         pk.cm_pinv_p, pk.hp_limbs),
         (pk.ctx_q, pk.red_q, pk.dq_digits, half_q, pk.ctx_hq,
-         pk.pinv2_q, pk.hq_limbs),
+         pk.cm_pinv_q, pk.hq_limbs),
     ):
         x = mg.mod_reduce(plain, ctx2, red)  # [B, L2+1], value < 1.51 R
         # Montgomery entry without the XLA outer product: the top limb t
@@ -694,7 +697,7 @@ def _decrypt_residue_rns(ct_mont, pub_ctx, pk, half_p, half_q):
         # reduce_excess lands canonical < p^2 in O(L) — the round-3 path
         # paid a from_mont REDC plus an export pass here.
         xc = _fit_limbs(mg.reduce_excess(wide, red2), L2)
-        halves.append(_lfunction_half(xc, ctxh, pinv_hensel, h_limbs))
+        halves.append(_lfunction_half(xc, ctxh, cm_pinv, h_limbs))
     return _crt_recombine(halves[0], halves[1], pk)
 
 
@@ -941,8 +944,9 @@ class PrivateDeviceConstants(NamedTuple):
     dq_digits: jnp.ndarray
     ctx_hp: mg.MontgomeryContext  # mod p (half width)
     ctx_hq: mg.MontgomeryContext  # mod q
-    pinv2_p: jnp.ndarray  # p^-1 mod 2^(14*Lh) (Hensel exact-division inverse)
-    pinv2_q: jnp.ndarray  # q^-1 mod 2^(14*Lh)
+    cm_pinv_p: mg.ConstMulTable  # * (p^-1 mod 2^(14*Lh)) band matmul
+    cm_pinv_q: mg.ConstMulTable  # * (q^-1 mod 2^(14*Lh))
+    cm_pfull: mg.ConstMulTable  # * p, exact full product (CRT recombine)
     hp_limbs: jnp.ndarray  # hp canonical [Lh]
     hq_limbs: jnp.ndarray
     pinvq_limbs: jnp.ndarray  # p^-1 mod q canonical [Lh]
@@ -984,8 +988,9 @@ class PrivateDeviceContext:
             ),
             ctx_hp=ctx_hp,
             ctx_hq=ctx_hq,
-            pinv2_p=pack(pow(p, -1, Rh)),
-            pinv2_q=pack(pow(q, -1, Rh)),
+            cm_pinv_p=mg.build_const_mul(pow(p, -1, Rh), Lh, Lh),
+            cm_pinv_q=mg.build_const_mul(pow(q, -1, Rh), Lh, Lh),
+            cm_pfull=mg.build_const_mul(p, Lh, 2 * Lh),
             hp_limbs=pack(private_key.hp),
             hq_limbs=pack(private_key.hq),
             pinvq_limbs=pack(private_key.p_inverse),

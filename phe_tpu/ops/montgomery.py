@@ -496,6 +496,86 @@ def _mont_pow_xla(base, digits, ctx, window=DEFAULT_WINDOW):
     return acc
 
 
+class ConstMulTable(NamedTuple):
+    """Digit-matmul constants for a limb product with a SHARED constant.
+
+    The generic limb product (lm.mul_full / mul_low) materialises a
+    [..., La, Lc] outer product plus diag_sum shear buffers — hundreds of
+    MB of HBM traffic per 8k-element batch at decrypt's half-width
+    geometry (measured ~10-20 ms per call, scripts/dec_stage_marginals).
+    With one operand constant, the product is a band-matrix contraction
+    the MXU can do directly: value = sum_{w,i} d_{w,i} 2^(6w) 2^(14 i) C
+    for the three 6-bit input planes d, so with row blocks
+    M_w[i, k] = limb_{k-i}(C << 6w) the slot vector is one int8 matmul.
+
+    w: int8 [3*in_limbs, 2*out_limbs] — the three plane blocks stacked,
+    each split into lo-7 | hi-7 bit column halves (entries < 2^14).
+    """
+
+    w: jnp.ndarray
+
+    @property
+    def out_limbs(self):
+        return self.w.shape[1] // 2
+
+
+def build_const_mul(const_value, in_limbs, out_limbs):
+    """ConstMulTable for (a * const) mod 2^(14*out_limbs).
+
+    Exact for inputs a with limbs <= 2^16 (redundant headroom): digit
+    planes are < 64 (int8-safe), matmul accumulators sum 3*in_limbs
+    terms of 63*127 < 2^13 — int32-exact and, recombined as
+    c0 + (c1 << 7), under 2^31 (carry_fix's soundness bound) for
+    in_limbs <= 698. Choose out_limbs >= in + width(const) for the
+    exact full product; smaller out gives the product mod 2^(14*out)
+    (top carries drop in carry_fix, i.e. exact modular truncation).
+    """
+    if in_limbs > 698:
+        raise ValueError(
+            "const_mul accumulator bound holds for <= 698 input limbs"
+        )
+    c = int(const_value)
+    blocks = []
+    for w in (0, 6, 12):
+        sl = hl.int_to_limbs((c << w) & ((1 << (14 * out_limbs)) - 1),
+                             out_limbs)
+        M = np.zeros((in_limbs, out_limbs), np.uint32)
+        for i in range(in_limbs):
+            M[i, i:] = sl[: out_limbs - i]
+        blocks.append(M)
+    Mall = np.concatenate(blocks, axis=0)  # [3*in, out], entries < 2^14
+    w8 = np.concatenate(
+        [(Mall & 0x7F).astype(np.int8), (Mall >> 7).astype(np.int8)],
+        axis=1,
+    )
+    return ConstMulTable(w=jnp.asarray(w8))
+
+
+def const_mul(a, table):
+    """(a * const) mod 2^(14*out_limbs) -> redundant limbs [..., out].
+
+    a: [..., in_limbs] limbs <= 2^16. Output limbs <= 2^14 (carry_fix
+    invariant); value is the exact modular product — callers needing
+    canonical form normalize (mod-2^(14*out) truncation semantics match
+    lm.mul_low's: value(limbs) == product mod 2^(14*out)).
+    """
+    dig = jnp.concatenate(
+        [
+            (a & 0x3F).astype(jnp.int8),
+            ((a >> 6) & 0x3F).astype(jnp.int8),
+            (a >> 12).astype(jnp.int8),
+        ],
+        axis=-1,
+    )
+    out = jax.lax.dot_general(
+        dig, table.w,
+        (((dig.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.uint32)
+    O = table.out_limbs
+    return lm.carry_fix(out[..., :O] + (out[..., O:] << 7))
+
+
 class ReduceTable(NamedTuple):
     """Constants for reducing wide values mod M: powers beta^(L+j) mod M."""
 

@@ -205,3 +205,43 @@ class TestModReduce:
             mg.from_mont(mg.to_mont(reduced, ctx), ctx), ctx
         )
         assert unpack(back) == [v % modulus for v in values]
+
+
+class TestConstMul:
+    def test_const_mul_matches_mul_low_and_full(self):
+        # The MXU band-matmul constant product must agree with the
+        # generic limb product: modular truncation (mul_low semantics)
+        # and the exact full product, on redundant inputs up to the
+        # 2**16 headroom ceiling.
+        La, Lc = 24, 24
+        c = random.Random(5).getrandbits(14 * Lc - 3) | 1
+        rngl = random.Random(6)
+        rows = np.asarray(
+            [[rngl.randrange(0, (1 << 16) + 1) for _ in range(La)]
+             for _ in range(5)],
+            dtype=np.uint32,
+        )
+        vals = [
+            sum(int(l) << (14 * j) for j, l in enumerate(row))
+            for row in rows
+        ]
+        # mod-2^(14*La) truncation
+        t_low = mg.build_const_mul(c, La, La)
+        low = lm.normalize(mg.const_mul(jnp.asarray(rows), t_low))
+        got = [
+            sum(int(l) << (14 * j) for j, l in enumerate(r))
+            for r in np.asarray(low)
+        ]
+        assert got == [(v * c) % (1 << (14 * La)) for v in vals]
+        # exact full product
+        t_full = mg.build_const_mul(c, La, La + Lc)
+        full = lm.normalize(mg.const_mul(jnp.asarray(rows), t_full))
+        got = [
+            sum(int(l) << (14 * j) for j, l in enumerate(r))
+            for r in np.asarray(full)
+        ]
+        assert got == [v * c for v in vals]
+
+    def test_const_mul_limb_cap(self):
+        with pytest.raises(ValueError):
+            mg.build_const_mul(3, 699, 699)
