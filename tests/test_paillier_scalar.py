@@ -6,6 +6,7 @@ breaks bit-exactness fails here first.
 """
 
 import math
+import os
 
 import numpy as np
 import pytest
@@ -19,7 +20,11 @@ from phe_tpu import (
     generate_paillier_keypair,
 )
 
-KEY_BITS = 256  # small keys: these tests pin semantics, not security
+# Default 256: small keys pin semantics, not security, and keep the CI
+# lanes fast. The reference runs its whole suite at its 3072-bit default
+# (phe/tests/paillier_test.py:90-94) — PHE_TPU_TEST_BITS=3072 reproduces
+# that depth here (opt-in lane; ~minutes on the native host engine).
+KEY_BITS = int(os.environ.get("PHE_TPU_TEST_BITS", "256"))
 
 
 @pytest.fixture(scope="module")
