@@ -366,10 +366,21 @@ def _ladder_vec_kernel(
     def step(i, _):
         wi, j = i // (window + 1), i % (window + 1)
         d = digits_ref[pl.ds(wi, 1), :]  # [1, TB] this element's digit
-        factor = jnp.zeros((C, TB), jnp.uint32)
-        for kk in range(2**window):
-            factor = factor + tab_ref[kk] * (d == kk).astype(jnp.uint32)
-        b = jnp.where(j < window, acc_ref[:, :], factor)
+        # Constant-time table lookup as a binary select tree: `window`
+        # levels of [C, TB] lane-selects keyed on digit bits — 2^w - 1
+        # wheres versus 2^w (compare + multiply + add) triples for the
+        # one-hot sum (~15% of the whole vec-ladder's lane-ops at
+        # window 4). Every entry is still touched on every step:
+        # constant-time in the exponent, like the one-hot form, and the
+        # result is exactly tab[d] (bit-equal to rns.pow_vec_xla).
+        sel = [tab_ref[kk] for kk in range(2**window)]
+        for bit in range(window):
+            pick_hi = (d & (1 << bit)) != 0  # [1, TB]
+            sel = [
+                jnp.where(pick_hi, sel[2 * k + 1], sel[2 * k])
+                for k in range(len(sel) // 2)
+            ]
+        b = jnp.where(j < window, acc_ref[:, :], sel[0])
         acc_ref[:, :] = montmul(acc_ref[:, :], b)
         return 0
 

@@ -161,13 +161,15 @@ def rns_modexp_cost(exponent_bits, k, window):
 
 def rns_vec_modexp_cost(exponent_bits, k, window):
     """Per-element-exponent RNS modexp: the shared ladder plus the
-    constant-time one-hot table select (2^w multiply-adds over all
-    cpad ~ 2k channels per window — pallas_rns._ladder_vec_kernel)."""
+    constant-time binary select tree ((2^w - 1) lane-selects over all
+    cpad ~ 2k channels per window — pallas_rns._ladder_vec_kernel;
+    round 5 replaced the one-hot sum's 2^w compare+multiply+add
+    triples, which this model priced at 2 ops per multiply)."""
     n_windows = -(-exponent_bits // window)
-    sel_mul = n_windows * 2**window * 2 * k
+    sel_ops = n_windows * (2**window - 1) * 2 * k
     return _add(
         rns_modexp_cost(exponent_bits, k, window),
-        {"vpu_u32_mul": sel_mul, "vpu_op": 2 * sel_mul, "mxu_i8_mac": 0},
+        {"vpu_u32_mul": 0, "vpu_op": sel_ops, "mxu_i8_mac": 0},
     )
 
 
